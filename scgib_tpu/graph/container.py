@@ -1,0 +1,129 @@
+"""Graph batch containers — the TPU-native replacement for ``dgl.batch``.
+
+The reference framework (S-CGIB) represents a minibatch of molecular graphs as
+a DGL batched graph (``molecules.py:349-362`` collate + ``dgl.batch``) whose
+node/edge counts vary per batch.  On TPU every array that reaches ``jit`` must
+have a static shape, so we instead pack a batch into fixed-capacity padded
+buffers:
+
+* nodes are concatenated in graph order and padded to ``num_nodes`` capacity,
+* edges are stored as COO (``senders``/``receivers``) sorted by receiver so
+  segment reductions can use ``indices_are_sorted=True``,
+* ``node_graph`` holds the graph id (segment id) of every node,
+* boolean validity masks distinguish real entries from padding.
+
+Two containers exist:
+
+``GraphBatch``
+    a batch of B graphs (the analog of the reference's ``batch_g``).
+
+``SubgraphBatch``
+    the flattened per-node k-hop ego-nets (the analog of the reference's
+    ``flatten_batch_subgraphs`` built in ``train_*py`` via
+    ``dgl.batch(list(chain.from_iterable(batch_subgraphs)))``).  Its segment
+    ids map each sub-node to the *center node's global index* in the owning
+    ``GraphBatch`` so that one segment-sum produces the per-node candidate
+    embeddings (reference ``models.py:724-725``).
+
+Both are registered JAX pytrees (via ``flax.struct``), so they can be passed
+through ``jit`` / ``shard_map`` / ``grad`` directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A fixed-shape padded batch of graphs.
+
+    Shapes (capacities are static):
+      node_feat:   [N, F]  float — node features (padding rows are zero)
+      node_graph:  [N]     int32 — graph id per node (padding rows point at
+                                   graph 0 but are masked out)
+      node_mask:   [N]     bool  — True for real nodes
+      senders:     [E]     int32 — COO source node index (global)
+      receivers:   [E]     int32 — COO destination node index (global),
+                                   sorted ascending so segment ops are sorted
+      edge_mask:   [E]     bool  — True for real edges
+      graph_mask:  [G]     bool  — True for real graphs
+      labels:      [G, T]  float — optional per-graph labels (zeros if absent)
+      label_mask:  [G, T]  bool  — True where a label is present (NaN-aware
+                                   multi-task labels, cf. MetricWrapper.py)
+    """
+
+    node_feat: jnp.ndarray
+    node_graph: jnp.ndarray
+    node_mask: jnp.ndarray
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+    graph_mask: jnp.ndarray
+    labels: Optional[jnp.ndarray] = None
+    label_mask: Optional[jnp.ndarray] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def num_graphs(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def feat_dim(self) -> int:
+        return self.node_feat.shape[-1]
+
+    def node_counts(self) -> jnp.ndarray:
+        """Per-graph real node counts, [G] (reference batch_num_nodes())."""
+        import jax
+
+        ones = self.node_mask.astype(jnp.int32)
+        return jax.ops.segment_sum(ones, self.node_graph,
+                                   num_segments=self.num_graphs)
+
+
+@struct.dataclass
+class SubgraphBatch:
+    """Flattened per-node ego-net batch with fixed capacities.
+
+    Each real node v of the owning GraphBatch has one ego-net; all ego-nets
+    are concatenated.  Segment ids map sub-nodes to their center node's
+    global index (0..N-1 of the owning batch).
+
+    Shapes:
+      node_feat:    [S, F] float — features of sub-nodes (copies of the
+                                   original node's features)
+      node_center:  [S]    int32 — center-node global index per sub-node
+      node_orig:    [S]    int32 — original node global index per sub-node
+                                   (gather map, lets us rebuild features on
+                                   device instead of storing copies)
+      node_mask:    [S]    bool
+      senders:      [Q]    int32 — COO over the flattened sub-node space
+      receivers:    [Q]    int32 — sorted ascending
+      edge_mask:    [Q]    bool
+    """
+
+    node_feat: jnp.ndarray
+    node_center: jnp.ndarray
+    node_orig: jnp.ndarray
+    node_mask: jnp.ndarray
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    edge_mask: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_center.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]

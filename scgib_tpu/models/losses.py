@@ -1,0 +1,179 @@
+"""S-CGIB pretraining losses as pure, vectorized JAX functions.
+
+Replaces the reference's per-graph Python loops and batch-dense ops:
+
+  * ``batched_semi_loss`` InfoNCE contrastive   (models.py:611-629)
+  * KL compression term                          (models.py:657-659)
+  * adjacency reconstruction                     (models.py:762-768)
+  * k-step logM reconstruction                   (models.py:770-782)
+
+All functions take validity masks so padded graphs/nodes contribute nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..ops.segment import segment_sum
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 1e-12) -> jnp.ndarray:
+    """torch ``F.normalize`` semantics: x / max(||x||, eps)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def contrastive_infonce(z1: jnp.ndarray, z2: jnp.ndarray,
+                        graph_mask: jnp.ndarray,
+                        tau: float = 1.0) -> jnp.ndarray:
+    """InfoNCE between noisy-core readouts z1 and clean readouts z2, [G, d].
+
+    Vectorizes models.py:611-629 exactly: with f = exp(cos_sim / tau),
+      loss_i = -log( f(z1_i, z2_i)
+                     / (sum_j f(z1_i, z1_j) + sum_j f(z1_i, z2_j)
+                        - f(z1_i, z1_i)) )
+    averaged over real graphs.  (The reference's inner blocking over
+    ``batch_size`` chunks is a memory detail, not a math change.)
+    """
+    m = graph_mask.astype(z1.dtype)
+    z1n = l2_normalize(z1)
+    z2n = l2_normalize(z2)
+    refl = jnp.exp(z1n @ z1n.T / tau)        # [G, G]
+    betw = jnp.exp(z1n @ z2n.T / tau)        # [G, G]
+    refl_sum = refl @ m                       # mask columns
+    betw_sum = betw @ m
+    refl_diag = jnp.diagonal(refl)
+    betw_diag = jnp.diagonal(betw)
+    denom = refl_sum + betw_sum - refl_diag
+    loss_i = -jnp.log(betw_diag / jnp.maximum(denom, 1e-30))
+    return jnp.sum(loss_i * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def kl_loss(kl_node: jnp.ndarray,
+            node_graph: jnp.ndarray,
+            node_mask: jnp.ndarray,
+            graph_mask: jnp.ndarray,
+            mode: str = "corrected") -> jnp.ndarray:
+    """Reduce the per-node KL matrix [N, d] to a scalar.
+
+    mode='corrected': masked mean over all real nodes (the paper's Eq. 12).
+    mode='reference': mean over the **last real graph only**, replicating the
+      accumulation bug at models.py:659 where
+      ``KL_tensor_all = torch.cat((KL_tensor, KL_tensor), 0)`` discards all
+      graphs but the last (duplication leaves the mean unchanged).
+    """
+    if mode == "corrected":
+        m = node_mask.astype(kl_node.dtype)
+        total = jnp.sum(kl_node * m[:, None])
+        return total / jnp.maximum(jnp.sum(m) * kl_node.shape[-1], 1.0)
+    if mode == "reference":
+        last = jnp.sum(graph_mask.astype(jnp.int32)) - 1
+        sel = (node_graph == last) & node_mask
+        w = sel.astype(kl_node.dtype)
+        total = jnp.sum(kl_node * w[:, None])
+        return total / jnp.maximum(jnp.sum(w) * kl_node.shape[-1], 1.0)
+    raise ValueError(f"unknown kl mode {mode!r}")
+
+
+def recon_adj_loss(interaction_map: jnp.ndarray,
+                   senders: jnp.ndarray,
+                   receivers: jnp.ndarray,
+                   edge_mask: jnp.ndarray,
+                   node_mask: jnp.ndarray) -> jnp.ndarray:
+    """|| IM IM^T - A ||_F^2 / N_real over the batch-dense adjacency
+    (models.py:762-768; the reference's denominator ``row_num`` is the real
+    node count; its cross-graph off-diagonal zero blocks are reproduced
+    exactly because padded rows of IM are zero).
+
+    The [N, N] product is one big MXU matmul — the op the reference pays a
+    CUDA ``to_dense`` + GEMM for.
+    """
+    n = interaction_map.shape[0]
+    im = interaction_map * node_mask.astype(interaction_map.dtype)[:, None]
+    gram = im @ im.T
+    adj = jnp.zeros((n, n), interaction_map.dtype).at[
+        senders, receivers].add(edge_mask.astype(interaction_map.dtype))
+    diff = gram - adj
+    n_real = jnp.maximum(jnp.sum(node_mask.astype(jnp.float32)), 1.0)
+    return jnp.sum(diff * diff) / n_real
+
+
+def recon_logm_loss(interaction_map: jnp.ndarray,
+                    targets: jnp.ndarray,
+                    weights: jnp.ndarray,
+                    k_transition: int) -> jnp.ndarray:
+    """Per-graph k-step transition reconstruction (models.py:770-782):
+    (1/k) * sum_k sum_g || IM_g IM_g^T - logM_{g,k} ||^2 / n_g^2.
+
+    ``targets`` [k, N, N] block-diagonal padded logMs, ``weights`` [N, N]
+    with 1/n_g^2 inside each graph block, 0 elsewhere (pack_logm_targets).
+    """
+    gram = interaction_map @ interaction_map.T
+    diff = gram[None] - targets               # [k, N, N]
+    per_k = jnp.sum(diff * diff * weights[None], axis=(1, 2))
+    return jnp.sum(per_k) / float(k_transition)
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None,
+             eps: float = 1e-12) -> jnp.ndarray:
+    """``nn.BCELoss`` over probabilities (models.py:522-525), NaN-masked
+    multi-task support a la MetricWrapper 'ignore-flatten'."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    ll = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+    if mask is None:
+        return jnp.mean(ll)
+    m = mask.astype(ll.dtype)
+    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def bce_with_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                         mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``nn.BCEWithLogitsLoss`` (models.py:536-539), numerically stable."""
+    ll = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    if mask is None:
+        return jnp.mean(ll)
+    m = mask.astype(ll.dtype)
+    return jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``nn.CrossEntropyLoss`` with integer class labels (models.py:527-530).
+
+    Note the reference applies it on *sigmoided* scores (train_tudataset.py);
+    we take whatever the head produced, identically.
+    """
+    shifted = logits - jnp.max(logits, axis=-1, keepdims=True)
+    log_probs = shifted - jnp.log(
+        jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
+    picked = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
+                                 axis=-1)[:, 0]
+    if mask is None:
+        return -jnp.mean(picked)
+    m = mask.astype(picked.dtype)
+    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def rmse_loss(scores: jnp.ndarray, targets: jnp.ndarray,
+              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """sqrt(MSE) (models.py:532-535)."""
+    se = (scores - targets) ** 2
+    if mask is None:
+        return jnp.sqrt(jnp.mean(se))
+    m = mask.astype(se.dtype)
+    return jnp.sqrt(jnp.sum(se * m) / jnp.maximum(jnp.sum(m), 1.0))
+
+
+def mae_loss(scores: jnp.ndarray, targets: jnp.ndarray,
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """L1 loss (models.py:541-543)."""
+    ae = jnp.abs(scores - targets)
+    if mask is None:
+        return jnp.mean(ae)
+    m = mask.astype(ae.dtype)
+    return jnp.sum(ae * m) / jnp.maximum(jnp.sum(m), 1.0)

@@ -1,0 +1,133 @@
+"""Masked segment reductions — the workhorse ops of the framework.
+
+These replace the reference's DGL segment kernels:
+  * ``dgl.sum_nodes``            (models.py:716, 725)      -> segment_sum
+  * per-graph ``torch.std_mean`` (models.py:647)           -> segment_mean/std
+  * per-graph ``F.softmax(dim=0)``(models.py:746)          -> segment_softmax
+  * DGL edge-softmax normalizer  (models.py:902-917)       -> segment_sum
+
+All functions take an explicit ``num_segments`` (static) and an optional
+boolean mask so padded entries never contribute.  Data is expected sorted by
+segment id (the packer guarantees it), which lets XLA use the fast sorted
+scatter path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return data
+    m = mask.astype(data.dtype)
+    return data * m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
+
+
+def segment_sum(data: jnp.ndarray,
+                segment_ids: jnp.ndarray,
+                num_segments: int,
+                mask: Optional[jnp.ndarray] = None,
+                indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Masked segment sum.  data: [N, ...] -> [num_segments, ...]."""
+    return jax.ops.segment_sum(_apply_mask(data, mask), segment_ids,
+                               num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def segment_count(segment_ids: jnp.ndarray,
+                  num_segments: int,
+                  mask: Optional[jnp.ndarray] = None,
+                  indices_are_sorted: bool = True) -> jnp.ndarray:
+    ones = jnp.ones(segment_ids.shape, dtype=jnp.float32)
+    return segment_sum(ones, segment_ids, num_segments, mask,
+                       indices_are_sorted)
+
+
+def segment_mean(data: jnp.ndarray,
+                 segment_ids: jnp.ndarray,
+                 num_segments: int,
+                 mask: Optional[jnp.ndarray] = None,
+                 indices_are_sorted: bool = True) -> jnp.ndarray:
+    total = segment_sum(data, segment_ids, num_segments, mask,
+                        indices_are_sorted)
+    count = segment_count(segment_ids, num_segments, mask, indices_are_sorted)
+    count = jnp.maximum(count, 1.0)
+    return total / count.reshape(count.shape + (1,) * (data.ndim - 1))
+
+
+def segment_std_mean(data: jnp.ndarray,
+                     segment_ids: jnp.ndarray,
+                     num_segments: int,
+                     mask: Optional[jnp.ndarray] = None,
+                     ddof: int = 1,
+                     indices_are_sorted: bool = True):
+    """Per-segment (std, mean) matching ``torch.std_mean(x, dim=0)``
+    (unbiased, ddof=1 — reference models.py:647).
+
+    Single-element segments get std 0 (torch yields NaN there; we clamp the
+    denominator, documented deviation — NaNs would poison training).
+    """
+    mean = segment_mean(data, segment_ids, num_segments, mask,
+                        indices_are_sorted)
+    centered = data - mean[segment_ids]
+    sq = segment_sum(centered * centered, segment_ids, num_segments, mask,
+                     indices_are_sorted)
+    count = segment_count(segment_ids, num_segments, mask, indices_are_sorted)
+    denom = jnp.maximum(count - ddof, 1.0)
+    var = sq / denom.reshape(denom.shape + (1,) * (data.ndim - 1))
+    return jnp.sqrt(var), mean
+
+
+def segment_max(data: jnp.ndarray,
+                segment_ids: jnp.ndarray,
+                num_segments: int,
+                mask: Optional[jnp.ndarray] = None,
+                indices_are_sorted: bool = True) -> jnp.ndarray:
+    neg_inf = jnp.asarray(-jnp.inf, dtype=data.dtype)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (data.ndim - 1))
+        data = jnp.where(m, data, neg_inf)
+    return jax.ops.segment_max(data, segment_ids,
+                               num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def segment_softmax(logits: jnp.ndarray,
+                    segment_ids: jnp.ndarray,
+                    num_segments: int,
+                    mask: Optional[jnp.ndarray] = None,
+                    indices_are_sorted: bool = True) -> jnp.ndarray:
+    """Numerically-stable per-segment softmax (the reference's per-graph
+    ``F.softmax(dim=0)`` at models.py:746).  Masked entries get weight 0.
+    """
+    seg_max = segment_max(logits, segment_ids, num_segments, mask,
+                          indices_are_sorted)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = logits - seg_max[segment_ids]
+    e = jnp.exp(shifted)
+    e = _apply_mask(e, mask)
+    denom = segment_sum(e, segment_ids, num_segments, None,
+                        indices_are_sorted)
+    denom = jnp.maximum(denom, 1e-16)
+    return e / denom[segment_ids]
+
+
+def segment_normalize_exp(scores: jnp.ndarray,
+                          segment_ids: jnp.ndarray,
+                          num_segments: int,
+                          mask: Optional[jnp.ndarray] = None,
+                          clamp: float = 5.0,
+                          eps: float = 1e-6,
+                          indices_are_sorted: bool = True) -> jnp.ndarray:
+    """The reference graph-transformer's *unshifted* edge softmax:
+    ``exp(clamp(score, -5, 5))`` then divide by the per-destination sum plus
+    eps (models.py:899, 917).  Kept bit-faithful rather than max-shifted.
+    """
+    e = jnp.exp(jnp.clip(scores, -clamp, clamp))
+    e = _apply_mask(e, mask)
+    z = segment_sum(e, segment_ids, num_segments, None, indices_are_sorted)
+    return e / (z + eps)[segment_ids]
