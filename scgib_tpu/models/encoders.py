@@ -44,10 +44,15 @@ def _mask_rows(x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
 
 
 class GIN(nn.Module):
-    """4-layer GIN stack (hardcoded depth, mirroring models.py:57-64)."""
+    """4-layer GIN stack (hardcoded depth, mirroring models.py:57-64).
+
+    ``axis_name``: sync-BN over a data-parallel mesh axis (see
+    MaskedBatchNorm) so sharded batches match single-device numerics.
+    """
 
     hidden: int = 64
     num_convs: int = 4   # reference: num_layers(5) - 1
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
@@ -58,7 +63,9 @@ class GIN(nn.Module):
             agg = gather_sum(h, senders, receivers, n, edge_mask)
             # GINConv(learn_eps=False): (1+0)*h_v + sum of neighbors
             h = MLP2(self.hidden, self.hidden, name=f"conv{i}")(h + agg)
-            h = MaskedBatchNorm(name=f"bn{i}")(h, node_mask, train=train)
+            h = MaskedBatchNorm(name=f"bn{i}",
+                                axis_name=self.axis_name)(h, node_mask,
+                                                          train=train)
             h = nn.relu(h)
             h = _mask_rows(h, node_mask)
         return h
@@ -181,9 +188,10 @@ ENCODERS = {
 
 
 def make_encoder(name: str, hidden: int, num_layers: int = 4,
-                 num_heads: int = 8, module_name: Optional[str] = None):
+                 num_heads: int = 8, module_name: Optional[str] = None,
+                 axis_name: Optional[str] = None):
     if name == "GIN":
-        return GIN(hidden=hidden, name=module_name)
+        return GIN(hidden=hidden, name=module_name, axis_name=axis_name)
     if name == "GCN":
         return GCN(hidden=hidden, name=module_name)
     if name == "GraphSAGE":

@@ -20,15 +20,22 @@ class MaskedBatchNorm(nn.Module):
     Matches torch ``nn.BatchNorm1d`` semantics: biased variance for the
     normalization, *unbiased* variance for the running stats, momentum 0.1,
     eps 1e-5, affine.
+
+    ``axis_name``: sync-BN across a data-parallel mesh axis — train-mode
+    statistics are psum-reduced over all shards so a sharded batch
+    normalizes exactly like the same batch on one device.
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> jnp.ndarray:
+        import jax
+
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(features, jnp.float32))
@@ -38,21 +45,95 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
         if train:
+            # two-pass (mean, then centered variance) for float32 stability;
+            # sync-BN pays one extra [F]-sized psum for it.
             if mask is None:
-                count = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
+                count = jnp.asarray(float(x.shape[0]), jnp.float32)
+                total = jnp.sum(x, axis=0)
             else:
                 m = mask.astype(x.dtype)[:, None]
-                count = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(x * m, axis=0) / count
-                var = jnp.sum(((x - mean) ** 2) * m, axis=0) / count
+                count = jnp.sum(m)
+                total = jnp.sum(x * m, axis=0)
+            if self.axis_name is not None:
+                count = jax.lax.psum(count, self.axis_name)
+                total = jax.lax.psum(total, self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = total / count
+            centered_sq = (x - mean) ** 2
+            if mask is None:
+                var_total = jnp.sum(centered_sq, axis=0)
+            else:
+                var_total = jnp.sum(centered_sq * m, axis=0)
+            if self.axis_name is not None:
+                var_total = jax.lax.psum(var_total, self.axis_name)
+            var = var_total / count
             if not self.is_initializing():
                 unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
                 ra_mean.value = ((1 - self.momentum) * ra_mean.value
                                  + self.momentum * mean)
                 ra_var.value = ((1 - self.momentum) * ra_var.value
                                 + self.momentum * unbiased)
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        return y * scale + bias
+
+
+class SegmentBatchNorm(nn.Module):
+    """BatchNorm whose train-mode statistics are computed *per segment*
+    (per graph), not over the whole batch.
+
+    The reference calls its compressor (which contains ``nn.BatchNorm1d``)
+    inside the per-graph compression loop (models.py:642 via 595-604), so in
+    train mode each graph is normalized by its own node statistics.  This
+    module reproduces that.  Running stats are updated once per step with the
+    average of the per-segment statistics (the reference updates sequentially
+    per graph — order-dependent; averaging is the batch-order-free
+    equivalent, documented deviation).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 segment_ids: jnp.ndarray,
+                 num_segments: int,
+                 mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> jnp.ndarray:
+        from ..ops.segment import segment_count, segment_mean, segment_sum
+
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if train:
+            mean_g = segment_mean(x, segment_ids, num_segments, mask)
+            centered = x - mean_g[segment_ids]
+            count = segment_count(segment_ids, num_segments, mask)
+            var_g = segment_sum(centered * centered, segment_ids,
+                                num_segments, mask)
+            var_g = var_g / jnp.maximum(count, 1.0)[:, None]  # biased (norm)
+            mean = mean_g[segment_ids]
+            var = var_g[segment_ids]
+            if not self.is_initializing():
+                seg_mask = count > 0
+                n_seg = jnp.maximum(jnp.sum(seg_mask.astype(jnp.float32)),
+                                    1.0)
+                unb = var_g * (count / jnp.maximum(count - 1.0, 1.0))[:, None]
+                wm = seg_mask.astype(jnp.float32)[:, None]
+                avg_mean = jnp.sum(mean_g * wm, axis=0) / n_seg
+                avg_var = jnp.sum(unb * wm, axis=0) / n_seg
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * avg_mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * avg_var)
         else:
             mean = ra_mean.value
             var = ra_var.value

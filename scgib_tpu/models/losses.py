@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.segment import segment_sum
@@ -28,7 +29,8 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1,
 
 def contrastive_infonce(z1: jnp.ndarray, z2: jnp.ndarray,
                         graph_mask: jnp.ndarray,
-                        tau: float = 1.0) -> jnp.ndarray:
+                        tau: float = 1.0,
+                        axis_name: Optional[str] = None) -> jnp.ndarray:
     """InfoNCE between noisy-core readouts z1 and clean readouts z2, [G, d].
 
     Vectorizes models.py:611-629 exactly: with f = exp(cos_sim / tau),
@@ -37,26 +39,53 @@ def contrastive_infonce(z1: jnp.ndarray, z2: jnp.ndarray,
                         - f(z1_i, z1_i)) )
     averaged over real graphs.  (The reference's inner blocking over
     ``batch_size`` chunks is a memory detail, not a math change.)
+
+    With ``axis_name`` (data-parallel shard_map), the denominator spans the
+    GLOBAL batch: columns are all-gathered across the mesh axis so the loss
+    equals the single-device computation over the union of shards — the
+    batch-global denominator requirement of SURVEY.md §7.3.
     """
     m = graph_mask.astype(z1.dtype)
     z1n = l2_normalize(z1)
     z2n = l2_normalize(z2)
-    refl = jnp.exp(z1n @ z1n.T / tau)        # [G, G]
-    betw = jnp.exp(z1n @ z2n.T / tau)        # [G, G]
-    refl_sum = refl @ m                       # mask columns
-    betw_sum = betw @ m
-    refl_diag = jnp.diagonal(refl)
-    betw_diag = jnp.diagonal(betw)
+    local_g = z1.shape[0]
+    if axis_name is None:
+        z1_cols, z2_cols, m_cols = z1n, z2n, m
+        diag_off = 0
+    else:
+        z1_cols = jax.lax.all_gather(z1n, axis_name)     # [D, G, d]
+        z2_cols = jax.lax.all_gather(z2n, axis_name)
+        m_cols = jax.lax.all_gather(m, axis_name).reshape(-1)
+        z1_cols = z1_cols.reshape(-1, z1n.shape[-1])
+        z2_cols = z2_cols.reshape(-1, z2n.shape[-1])
+        diag_off = jax.lax.axis_index(axis_name) * local_g
+    refl = jnp.exp(z1n @ z1_cols.T / tau)     # [G, G_total]
+    betw = jnp.exp(z1n @ z2_cols.T / tau)
+    refl_sum = refl @ m_cols                  # mask columns
+    betw_sum = betw @ m_cols
+    idx = jnp.arange(local_g)
+    refl_diag = refl[idx, idx + diag_off]
+    betw_diag = betw[idx, idx + diag_off]
     denom = refl_sum + betw_sum - refl_diag
     loss_i = -jnp.log(betw_diag / jnp.maximum(denom, 1e-30))
-    return jnp.sum(loss_i * m) / jnp.maximum(jnp.sum(m), 1.0)
+    total = jnp.sum(loss_i * m)
+    count = jnp.sum(m)
+    if axis_name is not None:
+        # LOCAL numerator over a GLOBAL count: inside shard_map the
+        # differentiated loss must not be a psum'd (replicated) scalar —
+        # psum'ing grads of a replicated loss over-counts the collective
+        # transpose contributions.  The global value is sum-of-shards
+        # (psum AFTER grad, in parallel/dp.py).
+        count = jax.lax.psum(count, axis_name)
+    return total / jnp.maximum(count, 1.0)
 
 
 def kl_loss(kl_node: jnp.ndarray,
             node_graph: jnp.ndarray,
             node_mask: jnp.ndarray,
             graph_mask: jnp.ndarray,
-            mode: str = "corrected") -> jnp.ndarray:
+            mode: str = "corrected",
+            axis_name: Optional[str] = None) -> jnp.ndarray:
     """Reduce the per-node KL matrix [N, d] to a scalar.
 
     mode='corrected': masked mean over all real nodes (the paper's Eq. 12).
@@ -64,25 +93,35 @@ def kl_loss(kl_node: jnp.ndarray,
       accumulation bug at models.py:659 where
       ``KL_tensor_all = torch.cat((KL_tensor, KL_tensor), 0)`` discards all
       graphs but the last (duplication leaves the mean unchanged).
+
+    ``axis_name``: mean over the global (cross-shard) node population; in
+    'reference' mode each shard picks its own last graph (the sequential
+    notion of "last" has no global analog — documented deviation).
     """
     if mode == "corrected":
         m = node_mask.astype(kl_node.dtype)
         total = jnp.sum(kl_node * m[:, None])
-        return total / jnp.maximum(jnp.sum(m) * kl_node.shape[-1], 1.0)
-    if mode == "reference":
+        count = jnp.sum(m) * kl_node.shape[-1]
+    elif mode == "reference":
         last = jnp.sum(graph_mask.astype(jnp.int32)) - 1
         sel = (node_graph == last) & node_mask
         w = sel.astype(kl_node.dtype)
         total = jnp.sum(kl_node * w[:, None])
-        return total / jnp.maximum(jnp.sum(w) * kl_node.shape[-1], 1.0)
-    raise ValueError(f"unknown kl mode {mode!r}")
+        count = jnp.sum(w) * kl_node.shape[-1]
+    else:
+        raise ValueError(f"unknown kl mode {mode!r}")
+    if axis_name is not None:
+        # local numerator / global count (see contrastive_infonce note)
+        count = jax.lax.psum(count, axis_name)
+    return total / jnp.maximum(count, 1.0)
 
 
 def recon_adj_loss(interaction_map: jnp.ndarray,
                    senders: jnp.ndarray,
                    receivers: jnp.ndarray,
                    edge_mask: jnp.ndarray,
-                   node_mask: jnp.ndarray) -> jnp.ndarray:
+                   node_mask: jnp.ndarray,
+                   axis_name: Optional[str] = None) -> jnp.ndarray:
     """|| IM IM^T - A ||_F^2 / N_real over the batch-dense adjacency
     (models.py:762-768; the reference's denominator ``row_num`` is the real
     node count; its cross-graph off-diagonal zero blocks are reproduced
@@ -90,15 +129,32 @@ def recon_adj_loss(interaction_map: jnp.ndarray,
 
     The [N, N] product is one big MXU matmul — the op the reference pays a
     CUDA ``to_dense`` + GEMM for.
+
+    ``axis_name`` (data parallel): the interaction map is all-gathered so
+    each shard computes its [N_local, N_global] gram slab — including the
+    cross-shard zero-adjacency blocks, so the result is EXACTLY the
+    single-device loss over the union batch (the reference's batch-dense
+    semantics, models.py:764).
     """
     n = interaction_map.shape[0]
     im = interaction_map * node_mask.astype(interaction_map.dtype)[:, None]
-    gram = im @ im.T
-    adj = jnp.zeros((n, n), interaction_map.dtype).at[
-        senders, receivers].add(edge_mask.astype(interaction_map.dtype))
+    if axis_name is None:
+        cols = im
+        col_off = 0
+    else:
+        cols = jax.lax.all_gather(im, axis_name).reshape(-1, im.shape[-1])
+        col_off = jax.lax.axis_index(axis_name) * n
+    gram = im @ cols.T                      # [N, N_global]
+    adj = jnp.zeros(gram.shape, interaction_map.dtype).at[
+        senders, receivers + col_off].add(
+            edge_mask.astype(interaction_map.dtype))
     diff = gram - adj
-    n_real = jnp.maximum(jnp.sum(node_mask.astype(jnp.float32)), 1.0)
-    return jnp.sum(diff * diff) / n_real
+    total = jnp.sum(diff * diff)
+    n_real = jnp.sum(node_mask.astype(jnp.float32))
+    if axis_name is not None:
+        # local slab / global node count (see contrastive_infonce note)
+        n_real = jax.lax.psum(n_real, axis_name)
+    return total / jnp.maximum(n_real, 1.0)
 
 
 def recon_logm_loss(interaction_map: jnp.ndarray,

@@ -36,9 +36,9 @@ from flax import linen as nn
 from ..graph.container import GraphBatch, SubgraphBatch
 from ..ops.segment import (segment_softmax, segment_std_mean, segment_sum)
 from .encoders import make_encoder
-from .layers import MaskedBatchNorm, MLP2
-from .losses import (contrastive_infonce, kl_loss, mae_loss, recon_adj_loss,
-                     recon_logm_loss, rmse_loss)
+from .layers import MLP2, SegmentBatchNorm
+from .losses import (contrastive_infonce, kl_loss, l2_normalize, mae_loss,
+                     recon_adj_loss, recon_logm_loss, rmse_loss)
 from .set2set import Set2Set
 
 
@@ -52,14 +52,21 @@ class CoreFeatures(NamedTuple):
 
 
 class Compressor(nn.Module):
-    """d -> d -> BatchNorm -> ReLU -> 1 gate scorer (models.py:589-593)."""
+    """d -> d -> BatchNorm -> ReLU -> 1 gate scorer (models.py:589-593).
+
+    The BatchNorm is *per graph* in train mode because the reference invokes
+    the compressor inside its per-graph loop (models.py:642) — see
+    ``SegmentBatchNorm``.
+    """
 
     hidden: int
 
     @nn.compact
-    def __call__(self, h, mask=None, train: bool = True):
+    def __call__(self, h, segment_ids, num_segments, mask=None,
+                 train: bool = True):
         x = nn.Dense(self.hidden, name="fc1")(h)
-        x = MaskedBatchNorm(name="bn")(x, mask, train=train)
+        x = SegmentBatchNorm(name="bn")(x, segment_ids, num_segments,
+                                        mask=mask, train=train)
         x = nn.relu(x)
         return nn.Dense(1, name="fc2")(x)
 
@@ -75,14 +82,20 @@ class SCGIBCore(nn.Module):
     use_att: bool = True
     gate_bias: float = 1e-4     # reference's `bias` at models.py:598
     std_eps: float = 1e-7       # reference's `epsilon` at models.py:632
+    deterministic: bool = False  # True: gate=sigmoid(p), no feature noise
+                                 # (for golden/parity tests; reference has no
+                                 # such mode — its noise is always on)
+    axis_name: Optional[str] = None  # sync-BN across the DP mesh axis
 
     def setup(self):
         self.encoder1 = make_encoder(self.encoder, self.hidden,
                                      self.num_layers, self.num_heads,
-                                     module_name="encoder1")
+                                     module_name="encoder1",
+                                     axis_name=self.axis_name)
         self.encoder2 = make_encoder(self.encoder, self.hidden,
                                      self.num_layers, self.num_heads,
-                                     module_name="encoder2")
+                                     module_name="encoder2",
+                                     axis_name=self.axis_name)
         self.compressor = Compressor(self.hidden, name="compressor")
         self.attn_layer = nn.Dense(1, name="attn_layer")
         if self.readout == "s2s":
@@ -95,11 +108,14 @@ class SCGIBCore(nn.Module):
                                mask=g.node_mask)
         return self.s2s(h, g.node_graph, g.num_graphs, mask=g.node_mask)
 
-    def compress(self, h, node_mask, train: bool):
+    def compress(self, h, g: GraphBatch, train: bool):
         """Concrete-relaxation gate lambda in (0,1) per node
         (models.py:595-604): sigmoid(logit(eps) + p), eps ~ U(bias, 1-bias).
         """
-        p = self.compressor(h, node_mask, train=train)          # [N, 1]
+        p = self.compressor(h, g.node_graph, g.num_graphs,
+                            mask=g.node_mask, train=train)      # [N, 1]
+        if self.deterministic:
+            return jax.nn.sigmoid(p), p
         key = self.make_rng("noise")
         eps = jax.random.uniform(key, p.shape, p.dtype,
                                  minval=self.gate_bias,
@@ -111,7 +127,7 @@ class SCGIBCore(nn.Module):
         """Vectorized form of the reference's per-graph loop
         (models.py:631-660): noise-gated features + per-node KL matrix.
         """
-        lam, _p = self.compress(h, g.node_mask, train)          # [N, 1]
+        lam, _p = self.compress(h, g, train)                    # [N, 1]
         lam_neg = 1.0 - lam
 
         h_static = jax.lax.stop_gradient(h)
@@ -122,9 +138,12 @@ class SCGIBCore(nn.Module):
 
         noisy_mean = lam * h + lam_neg * mean_n
         noisy_std = lam_neg * std_n
-        key = self.make_rng("noise")
-        u = jax.random.uniform(key, noisy_mean.shape, noisy_mean.dtype)
-        noisy = noisy_mean + u * noisy_std
+        if self.deterministic:
+            noisy = noisy_mean
+        else:
+            key = self.make_rng("noise")
+            u = jax.random.uniform(key, noisy_mean.shape, noisy_mean.dtype)
+            noisy = noisy_mean + u * noisy_std
         noisy = noisy * g.node_mask.astype(noisy.dtype)[:, None]
 
         # KL: 0.5 * sigma_n^2 / sigma_g^2  +  sum_{v in g}((mu_v-mu_g)/sigma_g)^2
@@ -218,6 +237,15 @@ class PretrainModel(nn.Module):
     recons_type: str = "adj"
     kl_mode: str = "corrected"
     k_transition: int = 1
+    deterministic: bool = False
+    normalize_input: bool = True      # row-wise F.normalize on features, as
+                                      # every reference train loop does
+                                      # before forward (exp_pretraining.py:
+                                      # 312-314, train_moleculenetBACE.py:
+                                      # 150-152)
+    axis_name: Optional[str] = None   # data-parallel mesh axis: contrastive
+                                      # denominator + loss normalizers span
+                                      # the global batch (SURVEY.md §7.3)
 
     def setup(self):
         self.transfer_d = nn.Dense(self.d_transfer, use_bias=False,
@@ -225,7 +253,9 @@ class PretrainModel(nn.Module):
         self.core = SCGIBCore(hidden=self.hidden, encoder=self.encoder,
                               num_layers=self.num_layers,
                               num_heads=self.num_heads, readout=self.readout,
-                              use_att=self.use_att, name="core")
+                              use_att=self.use_att,
+                              deterministic=self.deterministic,
+                              axis_name=self.axis_name, name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         if self.readout == "s2s":
             self.s2s = Set2Set(self.hidden, name="s2s")
@@ -234,14 +264,19 @@ class PretrainModel(nn.Module):
                  logm_targets: Optional[jnp.ndarray] = None,
                  logm_weights: Optional[jnp.ndarray] = None,
                  train: bool = True) -> PretrainLosses:
-        x_proj = self.transfer_d(g.node_feat)
-        x_sub_proj = self.transfer_d(sub.node_feat)
+        x = l2_normalize(g.node_feat) if self.normalize_input else \
+            g.node_feat
+        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
+            sub.node_feat
+        x_proj = self.transfer_d(x)
+        x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
 
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
 
         kl = kl_loss(feats.kl_node, g.node_graph, g.node_mask,
-                     g.graph_mask, mode=self.kl_mode)
+                     g.graph_mask, mode=self.kl_mode,
+                     axis_name=self.axis_name)
 
         if self.readout == "sum":
             noisy_readout = segment_sum(feats.noisy, g.node_graph,
@@ -250,11 +285,12 @@ class PretrainModel(nn.Module):
             noisy_readout = self.s2s(feats.noisy, g.node_graph,
                                      g.num_graphs, mask=g.node_mask)
         contrastive = contrastive_infonce(noisy_readout, feats.clean_readout,
-                                          g.graph_mask)
+                                          g.graph_mask,
+                                          axis_name=self.axis_name)
 
         if self.recons_type == "adj":
             recon = recon_adj_loss(im, g.senders, g.receivers, g.edge_mask,
-                                   g.node_mask)
+                                   g.node_mask, axis_name=self.axis_name)
         elif self.recons_type == "logM":
             if logm_targets is None or logm_weights is None:
                 raise ValueError("recons_type='logM' requires logm targets")
@@ -285,6 +321,9 @@ class FinetuneModel(nn.Module):
     readout: str = "sum"
     use_att: bool = True
     regression: bool = False   # True for ZINC/Peptides-struct/FreeSolv/ESOL
+    deterministic: bool = False
+    normalize_input: bool = True
+    axis_name: Optional[str] = None
 
     def setup(self):
         self.transfer_d = nn.Dense(self.d_transfer, use_bias=False,
@@ -292,15 +331,21 @@ class FinetuneModel(nn.Module):
         self.core = SCGIBCore(hidden=self.hidden, encoder=self.encoder,
                               num_layers=self.num_layers,
                               num_heads=self.num_heads, readout=self.readout,
-                              use_att=self.use_att, name="core")
+                              use_att=self.use_att,
+                              deterministic=self.deterministic,
+                              axis_name=self.axis_name, name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         self.s2s = Set2Set(self.hidden, name="s2s")
         self.predict = MLP2(self.hidden, self.num_out, name="predict")
 
     def __call__(self, g: GraphBatch, sub: SubgraphBatch,
                  train: bool = True) -> jnp.ndarray:
-        x_proj = self.transfer_d(g.node_feat)
-        x_sub_proj = self.transfer_d(sub.node_feat)
+        x = l2_normalize(g.node_feat) if self.normalize_input else \
+            g.node_feat
+        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
+            sub.node_feat
+        x_proj = self.transfer_d(x)
+        x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
         pooled = self.s2s(im, g.node_graph, g.num_graphs,
@@ -324,6 +369,9 @@ class DomainAdaptModel(nn.Module):
     num_heads: int = 8
     readout: str = "sum"
     use_att: bool = True
+    deterministic: bool = False
+    normalize_input: bool = True
+    axis_name: Optional[str] = None
 
     def setup(self):
         self.transfer_d = nn.Dense(self.d_transfer, use_bias=False,
@@ -331,7 +379,9 @@ class DomainAdaptModel(nn.Module):
         self.core = SCGIBCore(hidden=self.hidden, encoder=self.encoder,
                               num_layers=self.num_layers,
                               num_heads=self.num_heads, readout=self.readout,
-                              use_att=self.use_att, name="core")
+                              use_att=self.use_att,
+                              deterministic=self.deterministic,
+                              axis_name=self.axis_name, name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         self.s2s = Set2Set(self.hidden, name="s2s")
         self.s2s_rev = Set2Set(self.in_dim, name="s2s_rev")
@@ -340,14 +390,20 @@ class DomainAdaptModel(nn.Module):
 
     def __call__(self, g: GraphBatch, sub: SubgraphBatch,
                  train: bool = True) -> jnp.ndarray:
-        x_raw = g.node_feat
-        x_proj = self.transfer_d(x_raw)
-        x_sub_proj = self.transfer_d(sub.node_feat)
+        x = l2_normalize(g.node_feat) if self.normalize_input else \
+            g.node_feat
+        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
+            sub.node_feat
+        x_proj = self.transfer_d(x)
+        x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)
         pooled = self.s2s(im, g.node_graph, g.num_graphs, mask=g.node_mask)
         pred = self.r_transfer_d(pooled)                         # [G, 2F]
-        target = self.s2s_rev(x_raw, g.node_graph, g.num_graphs,
+        # "org" features in the reference were already normalized by its
+        # train loop (train_moleculenetBACE.py:37-38), so the target uses
+        # the same x fed to the encoder projection
+        target = self.s2s_rev(x, g.node_graph, g.num_graphs,
                               mask=g.node_mask)                  # [G, 2F]
         m = g.graph_mask.astype(pred.dtype)[:, None]
         return jnp.sum(((pred - target) ** 2) * m)

@@ -1,0 +1,173 @@
+"""Data-parallel training over a JAX device mesh.
+
+The reference has no distributed training at all (SURVEY.md §2.5 — no
+torch.distributed anywhere; live paths are single-GPU).  This module is the
+TPU-native scale-out design: per-device packed graph batches sharded over a
+``('data',)`` mesh axis via ``shard_map``, gradients reduced with ``psum``
+over ICI, and the contrastive loss's batch-global denominator preserved by
+all-gathering graph readouts across shards (losses.py axis_name support).
+
+Layout:
+  * params / opt state — replicated (the model is ~1M params).
+  * batches — one ``GraphBatch``/``SubgraphBatch`` per device, stacked on a
+    leading mesh axis (``stack_batches``) and sharded ``P('data')``.
+  * collectives — ``psum`` for gradient/loss reduction, ``all_gather`` for
+    the InfoNCE denominator; XLA overlaps them with the backward pass.
+
+The same step function runs on a v5e pod slice or on the 8-device virtual
+CPU mesh used in tests (conftest.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..graph.container import GraphBatch, SubgraphBatch
+from ..train.trainer import TrainState
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              axis: str = DATA_AXIS) -> Mesh:
+    """1-D data mesh over all (or the given) devices."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs, (axis,))
+
+
+def stack_batches(batches: Sequence[Any]) -> Any:
+    """Stack per-device pytrees (e.g. GraphBatch) on a new leading axis so
+    the result can be sharded ``P('data')`` across the mesh."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+
+
+def shard_batch(mesh: Mesh, stacked: Any) -> Any:
+    """Device_put a stacked batch with its leading axis over the mesh."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, stacked)
+
+
+def _squeeze_leading(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+def make_dp_pretrain_step(model, tx: optax.GradientTransformation,
+                          mesh: Mesh, donate: bool = True) -> Callable:
+    """Data-parallel pretraining step via shard_map.
+
+    ``model`` must be constructed with ``axis_name=DATA_AXIS`` so its losses
+    reduce globally; the returned scalar losses equal the single-device
+    values over the union batch.  Signature:
+    (state, stacked_g, stacked_sub, rng[D]) -> (state, losses).
+    """
+
+    def shard_step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
+                   rng):
+        g = _squeeze_leading(g)
+        sub = _squeeze_leading(sub)
+        rng = rng[0]
+
+        def loss_fn(params, batch_stats):
+            losses, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                g, sub, train=True, mutable=["batch_stats"],
+                rngs={"noise": rng})
+            return losses.total, (losses, mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(state.params,
+                                               state.batch_stats)
+        # the model returns per-shard losses (local numerator / global
+        # denominator): psum of the grads is the exact gradient of the
+        # global loss, and psum of the loss values is the global loss.
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        losses = jax.lax.psum(losses, DATA_AXIS)
+        # BatchNorm running stats: average the per-shard updates so the
+        # replicated state stays identical on every device.
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, losses
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_dp_finetune_step(model, tx: optax.GradientTransformation,
+                          mesh: Mesh, loss_impl: Callable,
+                          donate: bool = True) -> Callable:
+    """Data-parallel supervised step; ``loss_impl(scores, labels, mask)``
+    returns the local (sum, count) pair for a psum-mean global loss."""
+
+    def shard_step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
+                   rng):
+        g = _squeeze_leading(g)
+        sub = _squeeze_leading(sub)
+        rng = rng[0]
+
+        def loss_fn(params, batch_stats):
+            scores, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                g, sub, train=True, mutable=["batch_stats"],
+                rngs={"noise": rng})
+            mask = g.label_mask
+            if mask is not None:
+                mask = mask & g.graph_mask[:, None]
+            else:
+                mask = jnp.broadcast_to(g.graph_mask[:, None],
+                                        g.labels.shape)
+            total, count = loss_impl(scores, g.labels, mask)
+            # local numerator / global denominator (see losses.py note on
+            # grad-correct shard_map losses); global value psum'd after grad
+            count = jax.lax.psum(count, DATA_AXIS)
+            loss = total / jnp.maximum(count, 1.0)
+            return loss, (loss, mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss, new_bs)), grads = grad_fn(state.params, state.batch_stats)
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        loss = jax.lax.psum(loss, DATA_AXIS)
+        new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=state.step + 1)
+        return new_state, loss
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def bce_sum_count(scores, labels, mask):
+    """(sum, count) form of BCE for make_dp_finetune_step."""
+    eps = 1e-12
+    p = jnp.clip(scores, eps, 1.0 - eps)
+    ll = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    m = mask.astype(ll.dtype)
+    return jnp.sum(ll * m), jnp.sum(m)

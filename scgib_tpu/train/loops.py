@@ -1,0 +1,213 @@
+"""Epoch-level training loops: pretraining curriculum, fine-tuning with
+val/test selection, and domain adaptation.
+
+Replaces the reference's per-dataset driver skeletons:
+  * ``run_pretraining``      — exp_pretraining.py:59-78 (patience-50 epoch
+                               loop on best train loss) over the 3-stage
+                               curriculum (exp_pretraining.py:101-141:
+                               PCQM4Mv2 -> QM9 -> mol-PCBA, stage skipped
+                               when its checkpoint exists).
+  * ``run_finetune``         — exp_moleculenetBACE_BBBP.py:151-195:
+                               per-epoch train loss + val/test metric, final
+                               result = test metric at the best validation
+                               epoch (max for AUC/acc/AP, min for MAE/RMSE),
+                               early stop patience on train loss, wall-clock
+                               cap (48 h in the reference).
+  * ``run_domain_adaptation``— exp_moleculenetBACE_BBBP.py:66-84 (patience
+                               20 on train loss).
+
+Note: the reference's "best model" tracking keeps an alias of the live
+module, so it effectively saves the *last* epoch (exp_pretraining.py:69-72
+— SURVEY.md §5).  We track a real snapshot (``track_best=True``); pass
+``track_best=False`` for the reference's behavior.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import DatasetSpec
+from ..data.loader import Capacities, GraphDataset, batch_iterator
+from ..utils import metrics as M
+from ..utils.metric_wrapper import MetricWrapper
+from .trainer import TrainState
+
+
+def _snapshot(state: TrainState):
+    return jax.tree_util.tree_map(np.asarray, state.variables)
+
+
+def run_pretraining(step_fn: Callable, state: TrainState,
+                    ds: GraphDataset, caps: Capacities, batch_size: int,
+                    epochs: int, patience: int = 50, seed: int = 42,
+                    rng=None, track_best: bool = True,
+                    log: Optional[Callable[[str], None]] = print
+                    ) -> Tuple[TrainState, Dict]:
+    """One pretraining stage.  Returns (final state, info) where
+    info['best_variables'] are the best-train-loss weights."""
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+    best_loss = float("inf")
+    best_vars = None
+    best_epoch = -1
+    bad_epochs = 0
+    history: List[float] = []
+
+    for epoch in range(epochs):
+        total = 0.0
+        nb = 0
+        for g, sub in batch_iterator(ds, batch_size, caps, shuffle=True,
+                                     seed=seed + epoch):
+            rng, k = jax.random.split(rng)
+            state, losses = step_fn(state, g, sub, k)
+            total += float(losses.total)
+            nb += 1
+        epoch_loss = total / max(nb, 1)
+        history.append(epoch_loss)
+        if log:
+            log(f"pretrain epoch {epoch}: loss {epoch_loss:.5f}")
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            best_epoch = epoch
+            bad_epochs = 0
+            if track_best:
+                best_vars = _snapshot(state)
+        else:
+            bad_epochs += 1
+            if bad_epochs >= patience:
+                if log:
+                    log(f"early stop at epoch {epoch} (patience {patience})")
+                break
+
+    if best_vars is None:   # track_best=False -> reference aliasing: last
+        best_vars = _snapshot(state)
+    return state, {"best_variables": best_vars, "best_loss": best_loss,
+                   "best_epoch": best_epoch, "history": history}
+
+
+def _metric_fn(spec: DatasetSpec) -> Callable:
+    if spec.metric == "rocauc":
+        return lambda y, p: M.eval_rocauc(y, p)["rocauc"]
+    if spec.metric == "ap":
+        return lambda y, p: M.eval_ap(y, p)
+    if spec.metric == "rmse":
+        return lambda y, p: M.rmse(p, y)
+    if spec.metric == "mae":
+        return lambda y, p: M.mae(p, y)
+    if spec.metric == "acc":
+        def acc(y, p):
+            return M.accuracy_tu(p, y) / max(len(np.atleast_1d(y)), 1)
+        return acc
+    raise ValueError(f"unknown metric {spec.metric}")
+
+
+def evaluate(eval_fn: Callable, variables, ds: GraphDataset,
+             caps: Capacities, batch_size: int, spec: DatasetSpec,
+             rng=None) -> float:
+    """Accumulate scores/targets over the dataset on device, compute the
+    metric on host (the reference's epoch-accumulated OGB evaluator,
+    train_moleculenetBACE.py:174-176)."""
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    ys, ps = [], []
+    for g, sub in batch_iterator(ds, batch_size, caps, shuffle=False):
+        scores = eval_fn(variables, g, sub, rng)
+        gm = np.asarray(g.graph_mask)
+        ys.append(np.where(np.asarray(g.label_mask)[gm],
+                           np.asarray(g.labels)[gm], np.nan))
+        ps.append(np.asarray(scores)[gm])
+    y = np.concatenate(ys)
+    p = np.concatenate(ps)
+    if spec.metric == "acc":
+        return _metric_fn(spec)(y[:, 0], p)
+    return _metric_fn(spec)(y, p)
+
+
+def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
+                 train_ds: GraphDataset, val_ds: GraphDataset,
+                 test_ds: GraphDataset, caps: Capacities, batch_size: int,
+                 spec: DatasetSpec, epochs: int = 50, patience: int = 50,
+                 wallclock_hours: float = 48.0, seed: int = 41, rng=None,
+                 log: Optional[Callable[[str], None]] = print) -> Dict:
+    """Supervised fine-tune loop with test-at-best-val selection."""
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+    sign = 1.0 if spec.select == "max" else -1.0
+    best_val = -float("inf")
+    best_test = float("nan")
+    best_epoch = -1
+    best_loss = float("inf")
+    bad_epochs = 0
+    t_start = time.time()
+    history = []
+
+    for epoch in range(epochs):
+        total, nb = 0.0, 0
+        for g, sub in batch_iterator(train_ds, batch_size, caps,
+                                     shuffle=True, seed=seed + epoch):
+            rng, k = jax.random.split(rng)
+            state, loss = step_fn(state, g, sub, k)
+            total += float(loss)
+            nb += 1
+        epoch_loss = total / max(nb, 1)
+
+        val = evaluate(eval_fn, state.variables, val_ds, caps, batch_size,
+                       spec)
+        test = evaluate(eval_fn, state.variables, test_ds, caps,
+                        batch_size, spec)
+        history.append((epoch_loss, val, test))
+        if log:
+            log(f"finetune epoch {epoch}: loss {epoch_loss:.5f} "
+                f"val {val:.5f} test {test:.5f}")
+
+        if sign * val > sign * best_val or best_epoch < 0:
+            best_val, best_test, best_epoch = val, test, epoch
+        if epoch_loss < best_loss:
+            best_loss = epoch_loss
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs >= patience:
+                break
+        if (time.time() - t_start) > wallclock_hours * 3600:
+            break
+
+    return {"best_val": best_val, "test_at_best_val": best_test,
+            "best_epoch": best_epoch, "history": history, "state": state}
+
+
+def run_domain_adaptation(step_fn: Callable, state: TrainState,
+                          ds: GraphDataset, caps: Capacities,
+                          batch_size: int, epochs: int = 50,
+                          patience: int = 20, seed: int = 40, rng=None,
+                          log: Optional[Callable[[str], None]] = print
+                          ) -> Tuple[TrainState, Dict]:
+    """Unsupervised adaptation epochs on the downstream dataset's graphs
+    (train_moleculenetBACE.py:17-52)."""
+    rng = jax.random.PRNGKey(seed) if rng is None else rng
+    best = float("inf")
+    best_vars = None
+    bad = 0
+    for epoch in range(epochs):
+        total, nb = 0.0, 0
+        for g, sub in batch_iterator(ds, batch_size, caps, shuffle=True,
+                                     seed=seed + epoch):
+            rng, k = jax.random.split(rng)
+            state, loss = step_fn(state, g, sub, k)
+            total += float(loss)
+            nb += 1
+        epoch_loss = total / max(nb, 1)
+        if log:
+            log(f"adapt epoch {epoch}: loss {epoch_loss:.5f}")
+        if epoch_loss < best:
+            best = epoch_loss
+            best_vars = _snapshot(state)
+            bad = 0
+        else:
+            bad += 1
+            if bad >= patience:
+                break
+    if best_vars is None:
+        best_vars = _snapshot(state)
+    return state, {"best_variables": best_vars, "best_loss": best}

@@ -1,0 +1,231 @@
+"""Training machinery: optimizer, train state, jitted step functions, and
+the parameter-freezing masks of the fine-tuning stage.
+
+Replaces the reference's per-dataset ``train_*.py`` epoch loops
+(train_moleculenetBACE.py:112-176, exp_pretraining.py:290-330) with one
+model-agnostic, jit-compiled step API:
+
+  * ``adam_l2``             — torch-style Adam with L2-in-gradient weight
+                              decay (the reference uses ``torch.optim.Adam``
+                              with ``weight_decay``, which adds wd*param to
+                              the gradient *before* the Adam moments —
+                              unlike AdamW).  Pretrain lr 1e-4 / wd 5e-5
+                              (exp_pretraining.py:86), fine-tune lr 1e-3 /
+                              wd 1e-5 (exp_moleculenetBACE_BBBP.py:157).
+  * ``TrainState``          — params + batch_stats + opt state pytree.
+  * ``make_pretrain_step``  — jitted (state, g, sub, rng) -> (state, losses).
+  * ``make_finetune_step``  — jitted supervised step with a choice of loss
+                              (bce | bce_logits | ce | rmse | mae) and a
+                              trainable-parameter mask.
+  * ``finetune_trainable_mask`` — which pretrained-core params stay
+                              trainable, replicating models.py:424-434.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..graph.container import GraphBatch, SubgraphBatch
+from ..models.losses import (bce_loss, bce_with_logits_loss,
+                             cross_entropy_loss, mae_loss, rmse_loss)
+
+
+def adam_l2(learning_rate: float, weight_decay: float = 0.0,
+            b1: float = 0.9, b2: float = 0.999,
+            eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch.optim.Adam(weight_decay=wd) semantics: grad += wd * param is
+    applied before the Adam moment updates (NOT decoupled AdamW)."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale(-learning_rate))
+    return optax.chain(*parts)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation):
+        params = variables["params"]
+        return cls(params=params,
+                   batch_stats=variables.get("batch_stats", FrozenDict()),
+                   opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_pretrain_step(model, tx: optax.GradientTransformation,
+                       donate: bool = True) -> Callable:
+    """Jitted self-supervised step: total = KL + contrastive + recon
+    (exp_pretraining.py:321) -> grads -> Adam update."""
+
+    def loss_fn(params, batch_stats, g, sub, rng):
+        losses, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, sub, train=True, mutable=["batch_stats"],
+            rngs={"noise": rng})
+        return losses.total, (losses, mutated["batch_stats"])
+
+    def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
+             rng) -> Tuple[TrainState, Any]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, g, sub, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_bs,
+                          opt_state=new_opt, step=state.step + 1), losses
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+_FINETUNE_LOSSES = {
+    "bce": lambda scores, y, m: bce_loss(scores, y, m),
+    "bce_logits": lambda scores, y, m: bce_with_logits_loss(scores, y, m),
+    "ce": lambda scores, y, m: cross_entropy_loss(
+        scores, y[:, 0], m[:, 0] if m is not None else None),
+    "rmse": lambda scores, y, m: rmse_loss(scores, y, m),
+    "mae": lambda scores, y, m: mae_loss(scores, y, m),
+}
+
+
+def make_finetune_step(model, tx: optax.GradientTransformation,
+                       loss_type: str = "bce",
+                       donate: bool = True) -> Callable:
+    """Jitted supervised fine-tune step.  ``loss_type`` mirrors the
+    per-dataset loss table (SURVEY.md §2.2).  Labels/masks come from the
+    GraphBatch; padded graphs are masked out of the loss."""
+    if loss_type not in _FINETUNE_LOSSES:
+        raise ValueError(f"unknown loss {loss_type!r}; "
+                         f"one of {sorted(_FINETUNE_LOSSES)}")
+    loss_impl = _FINETUNE_LOSSES[loss_type]
+
+    def loss_fn(params, batch_stats, g, sub, rng):
+        scores, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, sub, train=True, mutable=["batch_stats"],
+            rngs={"noise": rng})
+        mask = g.label_mask
+        if mask is not None:
+            mask = mask & g.graph_mask[:, None]
+        else:
+            mask = jnp.broadcast_to(g.graph_mask[:, None], g.labels.shape)
+        loss = loss_impl(scores, g.labels, mask)
+        return loss, (loss, mutated["batch_stats"])
+
+    def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
+             rng) -> Tuple[TrainState, jnp.ndarray]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, g, sub, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_bs,
+                          opt_state=new_opt, step=state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_domainadapt_step(model, tx: optax.GradientTransformation,
+                          donate: bool = True) -> Callable:
+    """Jitted domain-adaptation step: the model's forward IS the scalar
+    loss (unnormalized squared readout-reconstruction error,
+    models.py:276-281)."""
+
+    def loss_fn(params, batch_stats, g, sub, rng):
+        loss, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, sub, train=True, mutable=["batch_stats"],
+            rngs={"noise": rng})
+        return loss, (loss, mutated["batch_stats"])
+
+    def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
+             rng) -> Tuple[TrainState, jnp.ndarray]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (loss, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, g, sub, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, batch_stats=new_bs,
+                          opt_state=new_opt, step=state.step + 1), loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_fn(model) -> Callable:
+    """Jitted inference: (variables, g, sub) -> scores, eval-mode (running
+    BN stats, no noise — train=False uses the deterministic gate path only
+    through BatchNorm; the reference keeps noise on in eval too, so we pass
+    a fixed rng for reproducibility)."""
+
+    @jax.jit
+    def run(variables, g: GraphBatch, sub: SubgraphBatch, rng):
+        return model.apply(variables, g, sub, train=False,
+                           rngs={"noise": rng})
+
+    return run
+
+
+def finetune_trainable_mask(params, mode: str = "reference"):
+    """Boolean pytree: True = trainable.  The reference freezes the whole
+    pretrained module then name-match-unfreezes encoder layers
+    (models.py:424-434).  Because the inner loop's ``else`` re-freezes on
+    every non-match and 'layers.2' is checked last, ONLY conv index 2 of
+    each encoder ends up trainable ('layers.4' matches nothing in a 4-conv
+    stack, 'layers.3' is unfrozen then immediately re-frozen by the
+    'layers.2' comparison).  Fresh head params (everything outside ``core``'s
+    encoders/compressor/attn) are always trainable.
+
+    mode='reference'  — only encoder conv2 (+bn2) of the pretrained core.
+    mode='paper'      — encoder convs/bns 2 and 3 (the loop's evident
+                        intent: the top layers of a 4-conv stack).
+    mode='all'        — whole core trainable.
+    mode='frozen'     — core fully frozen.
+    """
+    if mode not in ("reference", "paper", "all", "frozen"):
+        raise ValueError(f"unknown freeze mode {mode!r}")
+
+    def decide(path) -> bool:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "core" not in keys:
+            return True          # fresh heads always train
+        if mode == "all":
+            return True
+        if mode == "frozen":
+            return False
+        in_encoder = any(k in ("encoder1", "encoder2") for k in keys)
+        if not in_encoder:
+            return False         # pretrained compressor / attn stay frozen
+        wanted = ("conv2", "bn2") if mode == "reference" else (
+            "conv2", "bn2", "conv3", "bn3")
+        return any(k in wanted for k in keys)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [decide(path) for path, _ in flat])
+
+
+def masked_tx(tx: optax.GradientTransformation,
+              trainable_mask) -> optax.GradientTransformation:
+    """Apply ``tx`` only where the mask is True; frozen params get zero
+    updates (the analog of requires_grad=False)."""
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask))
