@@ -191,7 +191,11 @@ def make_encoder(name: str, hidden: int, num_layers: int = 4,
                  num_heads: int = 8, module_name: Optional[str] = None,
                  axis_name: Optional[str] = None):
     if name == "GIN":
-        return GIN(hidden=hidden, name=module_name, axis_name=axis_name)
+        # num_layers = conv count.  The released reference class builds 4
+        # convs (models.py:57-64), but the shipped pretrained artifact has
+        # 5 (ginlayers.0-4) — the authors' training-time code differed.
+        return GIN(hidden=hidden, num_convs=num_layers, name=module_name,
+                   axis_name=axis_name)
     if name == "GCN":
         return GCN(hidden=hidden, name=module_name)
     if name == "GraphSAGE":
