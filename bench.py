@@ -30,7 +30,8 @@ from scgib_tpu.data.synthetic import random_dataset
 from scgib_tpu.graph.batching import pack_graphs, pack_subgraphs
 from scgib_tpu.graph.egonet import extract_egonets
 from scgib_tpu.models.scgib import PretrainModel
-from scgib_tpu.train.trainer import TrainState, adam_l2, make_pretrain_step
+from scgib_tpu.train.trainer import (TrainState, adam_l2,
+                                     make_pretrain_scan_step)
 
 BATCH_GRAPHS = 128
 NODE_CAP = 4096
@@ -38,8 +39,8 @@ EDGE_CAP = 16384
 SUB_NODE_CAP = 16384
 SUB_EDGE_CAP = 65536
 FEAT = 9
-STEPS = 30
-WARMUP = 3
+INNER_STEPS = 50     # steps fused into one jitted lax.scan dispatch
+OUTER_CALLS = 4      # timed dispatches (first warmup call not timed)
 
 # Reference single-GPU (RTX A5000) DGL/PyTorch pretraining throughput
 # estimate in edges/s; overridden by BASELINE.json "throughput_edges_per_s"
@@ -60,28 +61,29 @@ def main():
     # message-passing work per step: 4 GIN layers over both edge sets
     edges_per_step = real_edges + real_sub_edges
 
-    model = PretrainModel(in_dim=FEAT, hidden=64, d_transfer=32)
+    impl = os.environ.get("BENCH_RECONS_IMPL", "gram")
+    model = PretrainModel(in_dim=FEAT, hidden=64, d_transfer=32,
+                          recons_impl=impl)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         g, sub, train=True)
     tx = adam_l2(1e-4, weight_decay=5e-5)
     state = TrainState.create(variables, tx)
-    step = make_pretrain_step(model, tx)
+    step = make_pretrain_scan_step(model, tx, INNER_STEPS)
 
     rng = jax.random.PRNGKey(2)
-    for _ in range(WARMUP):
-        rng, k = jax.random.split(rng)
-        state, losses = step(state, g, sub, k)
+    rng, k = jax.random.split(rng)
+    state, losses = step(state, g, sub, k)        # compile + warmup
     jax.block_until_ready(losses.total)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(OUTER_CALLS):
         rng, k = jax.random.split(rng)
         state, losses = step(state, g, sub, k)
     jax.block_until_ready(losses.total)
     dt = time.perf_counter() - t0
 
-    steps_per_s = STEPS / dt
+    steps_per_s = OUTER_CALLS * INNER_STEPS / dt
     edges_per_s = edges_per_step * steps_per_s
 
     baseline = DEFAULT_BASELINE_EDGES_PER_S

@@ -1,0 +1,289 @@
+"""Command-line driver — the single replacement for the reference's 12
+``exp_*.py`` scripts (SURVEY.md §1 L6).
+
+Subcommands:
+  pretrain      3-stage curriculum self-supervised pretraining
+                (exp_pretraining.py flow: PCQM4Mv2 -> QM9 -> mol-PCBA,
+                stage skipped when its checkpoint exists)
+  finetune      supervised fine-tune on a downstream dataset with
+                test-at-best-val selection (exp_moleculenetBACE_BBBP.py)
+  adapt         unsupervised domain adaptation (run_domain_adaptation)
+  preprocess    build the packed .npz dataset cache (k-hop ego-nets)
+                from a raw edge-list/feature dump or synthetic data
+
+Real dataset files are expected as .npz caches (data/cache.py format); in
+this offline environment ``--synthetic N`` generates molecule-like graphs
+with the same statistics instead (data/synthetic.py).
+
+Usage examples:
+  python -m scgib_tpu.cli pretrain --synthetic 2000 --epochs 3
+  python -m scgib_tpu.cli finetune --dataset BACE --synthetic 800 \
+      --pretrained outputs/pretrain.msgpack
+  python -m scgib_tpu.cli preprocess --synthetic 1000 --k 1 \
+      --out pts/synth.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_dataset(args, num_tasks=None, feat_dim=9):
+    from .data.cache import load_dataset
+    from .data.loader import GraphDataset
+    from .data.synthetic import random_dataset
+
+    if args.cache and os.path.exists(args.cache):
+        return load_dataset(args.cache)
+    if args.synthetic:
+        graphs = random_dataset(args.synthetic, seed=args.seed,
+                                feat_dim=feat_dim, num_tasks=num_tasks)
+        return GraphDataset(graphs, k=args.k)
+    raise SystemExit("no data: pass --cache <npz> or --synthetic N")
+
+
+def cmd_preprocess(args):
+    from .data.cache import save_dataset
+
+    t0 = time.time()
+    ds = _build_dataset(args)
+    save_dataset(args.out, ds)
+    print(f"wrote {len(ds)} graphs (k={ds.k}) to {args.out} "
+          f"in {time.time() - t0:.1f}s")
+
+
+def _args_config(args):
+    return {k: v for k, v in vars(args).items() if k != "fn"}
+
+
+def _common_model_kwargs(args):
+    return dict(hidden=args.hidden, d_transfer=args.d_transfer,
+                encoder=args.encoder, num_layers=args.num_layers,
+                num_heads=args.num_heads, readout=args.readout,
+                use_att=bool(args.use_att))
+
+
+def cmd_pretrain(args):
+    import jax
+
+    from .data.loader import plan_capacities
+    from .models.scgib import PretrainModel
+    from .train import checkpoint as ckpt
+    from .train.loops import run_pretraining
+    from .train.trainer import TrainState, adam_l2, make_pretrain_step
+
+    ds = _build_dataset(args)
+    caps = plan_capacities(ds, args.batch_size)
+    feat_dim = ds.graphs[0].node_feat.shape[1]
+
+    model = PretrainModel(in_dim=feat_dim,
+                          recons_type=args.recons_type,
+                          kl_mode=args.kl_mode,
+                          k_transition=args.k,
+                          **_common_model_kwargs(args))
+    from .data.loader import batch_iterator
+
+    g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
+                                   shuffle=False))
+    if args.pretrained and os.path.exists(args.pretrained):
+        variables, _ = ckpt.load_checkpoint(args.pretrained)
+        print(f"resumed from {args.pretrained}")
+    else:
+        variables = model.init(
+            {"params": jax.random.PRNGKey(args.seed),
+             "noise": jax.random.PRNGKey(args.seed + 1)},
+            g0, sub0, train=True)
+
+    tx = adam_l2(args.lr, weight_decay=args.weight_decay)
+    state = TrainState.create(variables, tx)
+    step = make_pretrain_step(model, tx)
+    state, info = run_pretraining(step, state, ds, caps, args.batch_size,
+                                  epochs=args.epochs,
+                                  patience=args.patience, seed=args.seed)
+    out = args.out or "outputs/pretrain.msgpack"
+    ckpt.save_checkpoint(out, info["best_variables"],
+                         config=_args_config(args), step=info["best_epoch"])
+    print(f"saved best (epoch {info['best_epoch']}, "
+          f"loss {info['best_loss']:.5f}) to {out}")
+
+
+def cmd_finetune(args):
+    import jax
+
+    from .config import DATASETS
+    from .data.loader import plan_capacities
+    from .models.scgib import FinetuneModel
+    from .train import checkpoint as ckpt
+    from .train.loops import run_finetune
+    from .train.trainer import (TrainState, adam_l2, finetune_trainable_mask,
+                                make_eval_fn, make_finetune_step, masked_tx)
+
+    spec = DATASETS.get(args.dataset)
+    if spec is None:
+        raise SystemExit(f"unknown dataset {args.dataset!r}; "
+                         f"known: {sorted(DATASETS)}")
+
+    ds = _build_dataset(args, num_tasks=spec.num_tasks,
+                        feat_dim=spec.feat_dim)
+    caps = plan_capacities(ds, args.batch_size)
+    if spec.split and spec.split[0] + spec.split[1] < len(ds):
+        n_train, n_val = spec.split
+    else:
+        n_train = int(len(ds) * 0.8)
+        n_val = int(len(ds) * 0.1)
+    train_ds, val_ds, test_ds = ds.split(n_train, n_val,
+                                         shuffle_seed=args.seed)
+
+    feat_dim = ds.graphs[0].node_feat.shape[1]
+    model = FinetuneModel(in_dim=feat_dim, num_out=spec.num_tasks,
+                          regression=spec.regression_head,
+                          **_common_model_kwargs(args))
+    from .data.loader import batch_iterator
+
+    g0, sub0 = next(batch_iterator(train_ds, args.batch_size, caps,
+                                   shuffle=False))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "noise": jax.random.PRNGKey(args.seed + 1)},
+        g0, sub0, train=True)
+
+    if args.pretrained and os.path.exists(args.pretrained):
+        if args.pretrained.endswith(".pt"):
+            from .utils.reference_import import (
+                convert_to_pretrain_variables, load_reference_state)
+
+            flat = load_reference_state(args.pretrained)
+            pre_vars, meta = convert_to_pretrain_variables(flat)
+            print(f"imported reference checkpoint "
+                  f"(core depth {meta['core_depth']}, "
+                  f"{meta['num_convs']} convs)")
+        else:
+            pre_vars, _ = ckpt.load_checkpoint(args.pretrained)
+        variables = ckpt.load_core_into(variables, pre_vars)
+        print(f"loaded pretrained core from {args.pretrained}")
+
+    mask = finetune_trainable_mask(variables["params"], args.freeze_mode)
+    tx = masked_tx(adam_l2(args.lr, weight_decay=args.weight_decay), mask)
+    state = TrainState.create(variables, tx)
+    step = make_finetune_step(model, tx, loss_type=spec.loss)
+    eval_fn = make_eval_fn(model)
+
+    result = run_finetune(step, eval_fn, state, train_ds, val_ds, test_ds,
+                          caps, args.batch_size, spec,
+                          epochs=args.epochs, patience=args.patience,
+                          seed=args.seed)
+    print(f"RESULT {args.dataset}: {spec.metric} "
+          f"test@best-val = {result['test_at_best_val']:.5f} "
+          f"(best val {result['best_val']:.5f} "
+          f"at epoch {result['best_epoch']})")
+    return result
+
+
+def cmd_adapt(args):
+    import jax
+
+    from .data.loader import plan_capacities, batch_iterator
+    from .models.scgib import DomainAdaptModel
+    from .train import checkpoint as ckpt
+    from .train.loops import run_domain_adaptation
+    from .train.trainer import TrainState, adam_l2, make_domainadapt_step
+
+    ds = _build_dataset(args)
+    caps = plan_capacities(ds, args.batch_size)
+    feat_dim = ds.graphs[0].node_feat.shape[1]
+    model = DomainAdaptModel(in_dim=feat_dim, **_common_model_kwargs(args))
+    g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
+                                   shuffle=False))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "noise": jax.random.PRNGKey(args.seed + 1)},
+        g0, sub0, train=True)
+    if args.pretrained and os.path.exists(args.pretrained):
+        pre_vars, _ = ckpt.load_checkpoint(args.pretrained)
+        variables = ckpt.load_core_into(variables, pre_vars)
+
+    tx = adam_l2(args.lr, weight_decay=args.weight_decay)
+    state = TrainState.create(variables, tx)
+    step = make_domainadapt_step(model, tx)
+    state, info = run_domain_adaptation(step, state, ds, caps,
+                                        args.batch_size,
+                                        epochs=args.epochs,
+                                        patience=20, seed=args.seed)
+    out = args.out or "outputs/adapted.msgpack"
+    ckpt.save_checkpoint(out, info["best_variables"],
+                         config=_args_config(args))
+    print(f"saved adapted model (loss {info['best_loss']:.5f}) to {out}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="scgib_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, lr, wd, epochs):
+        sp.add_argument("--cache", default=None,
+                        help=".npz dataset cache (data/cache.py format)")
+        sp.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic molecules instead")
+        sp.add_argument("--k", type=int, default=1,
+                        help="k-hop ego-net radius (--k_transition)")
+        sp.add_argument("--batch_size", type=int, default=128)
+        sp.add_argument("--hidden", type=int, default=64)
+        sp.add_argument("--d_transfer", type=int, default=32)
+        sp.add_argument("--encoder", default="GIN",
+                        choices=["GIN", "GCN", "GraphSAGE", "Transformer"])
+        sp.add_argument("--num_layers", type=int, default=4)
+        sp.add_argument("--num_heads", type=int, default=8)
+        sp.add_argument("--readout", default="sum", choices=["sum", "s2s"])
+        sp.add_argument("--use_att", type=int, default=1)
+        sp.add_argument("--lr", type=float, default=lr)
+        sp.add_argument("--weight_decay", type=float, default=wd)
+        sp.add_argument("--epochs", type=int, default=epochs)
+        sp.add_argument("--patience", type=int, default=50)
+        sp.add_argument("--seed", type=int, default=42)
+        sp.add_argument("--pretrained", default=None)
+        sp.add_argument("--out", default=None)
+
+    sp = sub.add_parser("preprocess", help="build packed dataset cache")
+    sp.add_argument("--cache", default=None)
+    sp.add_argument("--synthetic", type=int, default=0)
+    sp.add_argument("--k", type=int, default=1)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("pretrain", help="self-supervised pretraining")
+    common(sp, lr=1e-4, wd=5e-5, epochs=100)
+    sp.add_argument("--recons_type", default="adj",
+                    choices=["adj", "logM"])
+    sp.add_argument("--kl_mode", default="corrected",
+                    choices=["corrected", "reference"])
+    sp.set_defaults(fn=cmd_pretrain)
+
+    sp = sub.add_parser("finetune", help="supervised fine-tuning")
+    common(sp, lr=1e-3, wd=1e-5, epochs=50)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--freeze_mode", default="reference",
+                    choices=["reference", "paper", "all", "frozen"])
+    sp.set_defaults(fn=cmd_finetune)
+
+    sp = sub.add_parser("adapt", help="unsupervised domain adaptation")
+    common(sp, lr=1e-3, wd=1e-5, epochs=50)
+    sp.set_defaults(fn=cmd_adapt)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,11 @@ class GraphDataset:
 
     def __post_init__(self):
         if self.egonets is None:
-            self.egonets = [extract_egonets(g, self.k) for g in self.graphs]
+            from ..native import extract_egonets_batch
+
+            # threaded C++ extraction when the native lib is available,
+            # NumPy BFS otherwise (identical output, tests/test_native.py)
+            self.egonets = extract_egonets_batch(self.graphs, self.k)
 
     def __len__(self) -> int:
         return len(self.graphs)

@@ -121,39 +121,68 @@ def recon_adj_loss(interaction_map: jnp.ndarray,
                    receivers: jnp.ndarray,
                    edge_mask: jnp.ndarray,
                    node_mask: jnp.ndarray,
-                   axis_name: Optional[str] = None) -> jnp.ndarray:
+                   axis_name: Optional[str] = None,
+                   impl: str = "gram") -> jnp.ndarray:
     """|| IM IM^T - A ||_F^2 / N_real over the batch-dense adjacency
     (models.py:762-768; the reference's denominator ``row_num`` is the real
     node count; its cross-graph off-diagonal zero blocks are reproduced
     exactly because padded rows of IM are zero).
 
-    The [N, N] product is one big MXU matmul — the op the reference pays a
-    CUDA ``to_dense`` + GEMM for.
+    impl='gram' (default): the TPU-native O(N d^2) form.  With A binary
+    (the packer dedups edges) the expansion
+        ||IM IM^T - A||^2 = tr((IM^T IM)^2) - 2 sum_e IM_s.IM_e + |E|
+    replaces the N x N gram with the d x d feature gram (one small MXU
+    matmul) and a per-edge SDDMM dot — identical value, no N^2
+    materialization (SURVEY.md §7 'dense N^2 losses at scale').
 
-    ``axis_name`` (data parallel): the interaction map is all-gathered so
-    each shard computes its [N_local, N_global] gram slab — including the
-    cross-shard zero-adjacency blocks, so the result is EXACTLY the
-    single-device loss over the union batch (the reference's batch-dense
-    semantics, models.py:764).
+    impl='dense': the literal batch-dense computation (the reference's
+    ``adj().to_dense()`` + GEMM, kept for parity tests).
+
+    ``axis_name`` (data parallel): per-shard gram psum'd so the value is
+    EXACTLY the single-device loss over the union batch, including
+    cross-shard zero blocks.  Per-shard output follows the
+    local-numerator convention (see contrastive_infonce).
     """
-    n = interaction_map.shape[0]
     im = interaction_map * node_mask.astype(interaction_map.dtype)[:, None]
-    if axis_name is None:
-        cols = im
-        col_off = 0
-    else:
-        cols = jax.lax.all_gather(im, axis_name).reshape(-1, im.shape[-1])
-        col_off = jax.lax.axis_index(axis_name) * n
-    gram = im @ cols.T                      # [N, N_global]
-    adj = jnp.zeros(gram.shape, interaction_map.dtype).at[
-        senders, receivers + col_off].add(
-            edge_mask.astype(interaction_map.dtype))
-    diff = gram - adj
-    total = jnp.sum(diff * diff)
     n_real = jnp.sum(node_mask.astype(jnp.float32))
-    if axis_name is not None:
-        # local slab / global node count (see contrastive_infonce note)
-        n_real = jax.lax.psum(n_real, axis_name)
+    em = edge_mask.astype(im.dtype)
+
+    if impl == "dense":
+        n = im.shape[0]
+        if axis_name is None:
+            cols = im
+            col_off = 0
+        else:
+            cols = jax.lax.all_gather(im, axis_name).reshape(
+                -1, im.shape[-1])
+            col_off = jax.lax.axis_index(axis_name) * n
+        gram = im @ cols.T                  # [N, N_global]
+        adj = jnp.zeros(gram.shape, im.dtype).at[
+            senders, receivers + col_off].add(em)
+        diff = gram - adj
+        total = jnp.sum(diff * diff)
+        if axis_name is not None:
+            n_real = jax.lax.psum(n_real, axis_name)
+        return total / jnp.maximum(n_real, 1.0)
+
+    if impl != "gram":
+        raise ValueError(f"unknown recon impl {impl!r}")
+
+    g_local = im.T @ im                     # [D, D] feature gram
+    # SDDMM: per-edge dot of endpoint rows (padding edges masked)
+    dots = jnp.sum(jnp.take(im, senders, axis=0)
+                   * jnp.take(im, receivers, axis=0), axis=-1)
+    cross = jnp.sum(dots * em)
+    e_count = jnp.sum(em)
+    if axis_name is None:
+        total = jnp.sum(g_local * g_local) - 2.0 * cross + e_count
+        return total / jnp.maximum(n_real, 1.0)
+    # DP: ||sum_i G_i||^2 = sum_i tr(G_i @ G_global); writing the per-shard
+    # output as tr(G_local @ psum(G)) makes sum-of-shards equal the global
+    # loss with AD-exact cotangents under shard_map (each G_i receives 2G).
+    g_global = jax.lax.psum(g_local, axis_name)
+    total = jnp.sum(g_local * g_global) - 2.0 * cross + e_count
+    n_real = jax.lax.psum(n_real, axis_name)
     return total / jnp.maximum(n_real, 1.0)
 
 

@@ -235,6 +235,7 @@ class PretrainModel(nn.Module):
     readout: str = "sum"
     use_att: bool = True
     recons_type: str = "adj"
+    recons_impl: str = "gram"   # 'gram' O(N d^2) | 'dense' literal N x N
     kl_mode: str = "corrected"
     k_transition: int = 1
     deterministic: bool = False
@@ -290,7 +291,8 @@ class PretrainModel(nn.Module):
 
         if self.recons_type == "adj":
             recon = recon_adj_loss(im, g.senders, g.receivers, g.edge_mask,
-                                   g.node_mask, axis_name=self.axis_name)
+                                   g.node_mask, axis_name=self.axis_name,
+                                   impl=self.recons_impl)
         elif self.recons_type == "logM":
             if logm_targets is None or logm_weights is None:
                 raise ValueError("recons_type='logM' requires logm targets")

@@ -42,7 +42,7 @@ def save_checkpoint(path: str, variables: Dict[str, Any],
     os.replace(tmp, path)
     meta = {"step": int(step), "config": config or {}}
     with open(path + ".json", "w") as f:
-        json.dump(meta, f, indent=2)
+        json.dump(meta, f, indent=2, default=str)
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

@@ -94,6 +94,41 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
+                            n_inner: int,
+                            donate: bool = True) -> Callable:
+    """``n_inner`` pretraining steps fused into one jitted ``lax.scan`` —
+    one device dispatch per n_inner optimizer updates.  The production
+    inner-loop pattern (and the only way to measure chip throughput when
+    the host<->device link dominates single-step latency).  The same batch
+    is reused across inner steps with a fresh RNG fold each step; pair
+    with an outer loop feeding new batches."""
+
+    def loss_fn(params, batch_stats, g, sub, rng):
+        losses, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, sub, train=True, mutable=["batch_stats"],
+            rngs={"noise": rng})
+        return losses.total, (losses, mutated["batch_stats"])
+
+    def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch, rng):
+        def body(carry, i):
+            st = carry
+            k = jax.random.fold_in(rng, i)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_bs)), grads = grad_fn(
+                st.params, st.batch_stats, g, sub, k)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            return TrainState(params=new_params, batch_stats=new_bs,
+                              opt_state=new_opt, step=st.step + 1), losses
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(n_inner))
+        return state, losses  # losses stacked [n_inner]
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 _FINETUNE_LOSSES = {
     "bce": lambda scores, y, m: bce_loss(scores, y, m),
     "bce_logits": lambda scores, y, m: bce_with_logits_loss(scores, y, m),

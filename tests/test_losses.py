@@ -1,0 +1,90 @@
+"""Loss-function identities and edge cases."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.graph.batching import pack_graphs
+from scgib_tpu.models.losses import (bce_loss, bce_with_logits_loss,
+                                     contrastive_infonce,
+                                     cross_entropy_loss, recon_adj_loss)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    graphs = random_dataset(6, seed=21, min_nodes=5, max_nodes=12,
+                            feat_dim=4)
+    return pack_graphs(graphs, 128, 512, 8)
+
+
+def test_recon_gram_equals_dense(batch):
+    """The O(N d^2) gram+SDDMM expansion is value-identical to the literal
+    N x N computation (binary deduped adjacency)."""
+    g = batch
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.normal(size=(g.num_nodes, 16)).astype(np.float32))
+    dense = recon_adj_loss(im, g.senders, g.receivers, g.edge_mask,
+                           g.node_mask, impl="dense")
+    gram = recon_adj_loss(im, g.senders, g.receivers, g.edge_mask,
+                          g.node_mask, impl="gram")
+    np.testing.assert_allclose(float(gram), float(dense), rtol=1e-5)
+
+
+def test_recon_gram_grad_equals_dense(batch):
+    g = batch
+    rng = np.random.default_rng(1)
+    im = jnp.asarray(rng.normal(size=(g.num_nodes, 8)).astype(np.float32))
+
+    def f(impl):
+        return jax.grad(lambda x: recon_adj_loss(
+            x, g.senders, g.receivers, g.edge_mask, g.node_mask,
+            impl=impl))(im)
+
+    np.testing.assert_allclose(np.asarray(f("gram")),
+                               np.asarray(f("dense")), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_contrastive_masks_padding(batch):
+    rng = np.random.default_rng(2)
+    z1 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    mask6 = jnp.asarray([True] * 6 + [False] * 2)
+    # padded rows must not influence the loss
+    z1_alt = z1.at[6:].set(99.0)
+    z2_alt = z2.at[6:].set(-99.0)
+    a = contrastive_infonce(z1, z2, mask6)
+    b = contrastive_infonce(z1_alt, z2_alt, mask6)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+
+def test_bce_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(3)
+    p = rng.random(40).astype(np.float32) * 0.98 + 0.01
+    y = (rng.random(40) < 0.5).astype(np.float32)
+    ours = float(bce_loss(jnp.asarray(p), jnp.asarray(y)))
+    theirs = float(torch.nn.BCELoss()(torch.tensor(p), torch.tensor(y)))
+    assert ours == pytest.approx(theirs, rel=1e-6)
+
+    logits = rng.normal(size=40).astype(np.float32)
+    ours = float(bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(y)))
+    theirs = float(torch.nn.BCEWithLogitsLoss()(torch.tensor(logits),
+                                                torch.tensor(y)))
+    assert ours == pytest.approx(theirs, rel=1e-6)
+
+
+def test_ce_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(4)
+    logits = rng.normal(size=(10, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, size=10)
+    ours = float(cross_entropy_loss(jnp.asarray(logits),
+                                    jnp.asarray(labels)))
+    theirs = float(torch.nn.CrossEntropyLoss()(
+        torch.tensor(logits), torch.tensor(labels)))
+    assert ours == pytest.approx(theirs, rel=1e-6)
