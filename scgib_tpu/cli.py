@@ -77,6 +77,9 @@ def cmd_pretrain(args):
     from .train.loops import run_pretraining
     from .train.trainer import TrainState, adam_l2, make_pretrain_step
 
+    if args.curriculum:
+        return _run_curriculum(args)
+
     ds = _build_dataset(args)
     caps = plan_capacities(ds, args.batch_size)
     feat_dim = ds.graphs[0].node_feat.shape[1]
@@ -112,6 +115,87 @@ def cmd_pretrain(args):
           f"loss {info['best_loss']:.5f}) to {out}")
 
 
+def _run_curriculum(args):
+    """3-stage curriculum (exp_pretraining.py:101-141): train on each
+    stage dataset in turn, carrying the CORE forward (fresh projection +
+    head per stage since feature dims differ, as Mainmodel_continue
+    rebuilds transfer_d/MLP); each stage's checkpoint is skipped when its
+    output file already exists.
+
+    Stages come from --stage_caches (comma-separated .npz paths) or, with
+    --synthetic N, synthetic stand-ins with the reference's feature dims
+    (PCQM4Mv2 9, QM9 11, mol-PCBA 9; exp_pretraining.py:218-219)."""
+    import jax
+
+    from .config import PRETRAIN_STAGES
+    from .data.loader import GraphDataset, batch_iterator, plan_capacities
+    from .data.cache import load_dataset
+    from .data.synthetic import random_dataset
+    from .models.scgib import PretrainModel
+    from .train import checkpoint as ckpt
+    from .train.loops import run_pretraining
+    from .train.trainer import TrainState, adam_l2, make_pretrain_step
+
+    if args.stage_caches:
+        stage_data = []
+        for i, path in enumerate(args.stage_caches.split(",")):
+            ds = load_dataset(path)
+            stage_data.append((os.path.basename(path), ds))
+    else:
+        if not args.synthetic:
+            raise SystemExit("curriculum needs --stage_caches or "
+                             "--synthetic N")
+        stage_data = [
+            (name, GraphDataset(random_dataset(
+                args.synthetic, seed=args.seed + i, feat_dim=fd),
+                k=args.k))
+            for i, (name, fd) in enumerate(PRETRAIN_STAGES)]
+
+    out_dir = os.path.dirname(args.out or "outputs/x") or "outputs"
+    prev_core = None
+    names = []
+    for stage_i, (name, ds) in enumerate(stage_data):
+        names.append(name)
+        cp_path = os.path.join(
+            out_dir,
+            ckpt.checkpoint_name("pre_training", names, args.encoder,
+                                 args.hidden, args.num_layers, args.k)
+            + ".msgpack")
+        if ckpt.exists(cp_path):
+            print(f"stage {stage_i} ({name}): checkpoint exists, skipping")
+            prev_core, _ = ckpt.load_checkpoint(cp_path)
+            continue
+        feat_dim = ds.graphs[0].node_feat.shape[1]
+        caps = plan_capacities(ds, args.batch_size)
+        model = PretrainModel(in_dim=feat_dim,
+                              recons_type=args.recons_type,
+                              kl_mode=args.kl_mode, k_transition=args.k,
+                              **_common_model_kwargs(args))
+        g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
+                                       shuffle=False))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(args.seed + stage_i),
+             "noise": jax.random.PRNGKey(args.seed + stage_i + 1)},
+            g0, sub0, train=True)
+        if prev_core is not None:
+            variables = ckpt.load_core_into(variables, prev_core)
+        tx = adam_l2(args.lr, weight_decay=args.weight_decay)
+        state = TrainState.create(variables, tx)
+        step = make_pretrain_step(model, tx)
+        print(f"stage {stage_i} ({name}): {len(ds)} graphs, "
+              f"feat_dim {feat_dim}")
+        state, info = run_pretraining(
+            step, state, ds, caps, args.batch_size, epochs=args.epochs,
+            patience=args.patience, seed=args.seed + stage_i)
+        ckpt.save_checkpoint(cp_path, info["best_variables"],
+                             config=_args_config(args),
+                             step=info["best_epoch"])
+        prev_core = info["best_variables"]
+        print(f"stage {stage_i} ({name}): best loss "
+              f"{info['best_loss']:.5f} -> {cp_path}")
+    print(f"curriculum complete: {cp_path}")
+
+
 def cmd_finetune(args):
     import jax
 
@@ -128,16 +212,19 @@ def cmd_finetune(args):
         raise SystemExit(f"unknown dataset {args.dataset!r}; "
                          f"known: {sorted(DATASETS)}")
 
+    from .config import reference_split
+
     ds = _build_dataset(args, num_tasks=spec.num_tasks,
                         feat_dim=spec.feat_dim)
     caps = plan_capacities(ds, args.batch_size)
-    if spec.split and spec.split[0] + spec.split[1] < len(ds):
-        n_train, n_val = spec.split
-    else:
-        n_train = int(len(ds) * 0.8)
-        n_val = int(len(ds) * 0.1)
-    train_ds, val_ds, test_ds = ds.split(n_train, n_val,
-                                         shuffle_seed=args.seed)
+    # most exp scripts random.shuffle samples first
+    # (exp_moleculenetBACE_BBBP.py:276), then take the hardcoded prefix
+    # slices of molecules.py:211-343
+    order = np.random.default_rng(args.seed).permutation(len(ds))
+    tr_idx, va_idx, te_idx = reference_split(len(ds), spec)
+    train_ds = ds.subset(order[list(tr_idx)])
+    val_ds = ds.subset(order[list(va_idx)])
+    test_ds = ds.subset(order[list(te_idx)])
 
     feat_dim = ds.graphs[0].node_feat.shape[1]
     model = FinetuneModel(in_dim=feat_dim, num_out=spec.num_tasks,
@@ -152,6 +239,7 @@ def cmd_finetune(args):
          "noise": jax.random.PRNGKey(args.seed + 1)},
         g0, sub0, train=True)
 
+    pre_vars = None
     if args.pretrained and os.path.exists(args.pretrained):
         if args.pretrained.endswith(".pt"):
             from .utils.reference_import import (
@@ -169,19 +257,37 @@ def cmd_finetune(args):
 
     mask = finetune_trainable_mask(variables["params"], args.freeze_mode)
     tx = masked_tx(adam_l2(args.lr, weight_decay=args.weight_decay), mask)
-    state = TrainState.create(variables, tx)
-    step = make_finetune_step(model, tx, loss_type=spec.loss)
+    step = make_finetune_step(model, tx, loss_type=spec.loss,
+                              grad_accum=spec.grad_accum)
     eval_fn = make_eval_fn(model)
 
-    result = run_finetune(step, eval_fn, state, train_ds, val_ds, test_ds,
-                          caps, args.batch_size, spec,
-                          epochs=args.epochs, patience=args.patience,
-                          seed=args.seed)
+    # TUDataset-style repeats: fresh heads per run, mean +- std reported
+    # (exp_tudataset.py:150-160)
+    repeats = args.repeats if args.repeats else spec.repeats
+    values = []
+    result = None
+    for rep in range(repeats):
+        rep_vars = variables
+        if rep > 0:
+            import jax as _jax
+            rep_vars = model.init(
+                {"params": _jax.random.PRNGKey(args.seed + 100 + rep),
+                 "noise": _jax.random.PRNGKey(args.seed + 200 + rep)},
+                g0, sub0, train=True)
+            if args.pretrained and os.path.exists(args.pretrained):
+                rep_vars = ckpt.load_core_into(rep_vars, pre_vars)
+        state = TrainState.create(rep_vars, tx)
+        result = run_finetune(step, eval_fn, state, train_ds, val_ds,
+                              test_ds, caps, args.batch_size, spec,
+                              epochs=args.epochs, patience=args.patience,
+                              seed=args.seed + rep)
+        values.append(result["test_at_best_val"])
+    mean = float(np.mean(values))
+    std = float(np.std(values))
     print(f"RESULT {args.dataset}: {spec.metric} "
-          f"test@best-val = {result['test_at_best_val']:.5f} "
-          f"(best val {result['best_val']:.5f} "
-          f"at epoch {result['best_epoch']})")
-    return result
+          f"test@best-val = {mean:.5f} +- {std:.5f} "
+          f"over {repeats} run(s)")
+    return {"mean": mean, "std": std, "runs": values, "last": result}
 
 
 def cmd_adapt(args):
@@ -248,6 +354,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--patience", type=int, default=50)
         sp.add_argument("--seed", type=int, default=42)
         sp.add_argument("--pretrained", default=None)
+        sp.add_argument("--repeats", type=int, default=0,
+                        help="override dataset's repeat count")
         sp.add_argument("--out", default=None)
 
     sp = sub.add_parser("preprocess", help="build packed dataset cache")
@@ -264,6 +372,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["adj", "logM"])
     sp.add_argument("--kl_mode", default="corrected",
                     choices=["corrected", "reference"])
+    sp.add_argument("--curriculum", action="store_true",
+                    help="3-stage curriculum (exp_pretraining flow)")
+    sp.add_argument("--stage_caches", default=None,
+                    help="comma-separated stage .npz caches")
     sp.set_defaults(fn=cmd_pretrain)
 
     sp = sub.add_parser("finetune", help="supervised fine-tuning")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -153,3 +154,48 @@ class MLP2(nn.Module):
         x = nn.Dense(self.hidden)(x)
         x = nn.relu(x)
         return nn.Dense(self.out)(x)
+
+
+class MLPReadout(nn.Module):
+    """Halving-width readout MLP: L layers each ``Linear(d/2^l -> d/2^(l+1))``
+    with ReLU, then a final linear to ``out`` (reference models.py:961-978).
+    Unused by the live S-CGIB paths; kept for API completeness."""
+
+    out: int
+    L: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        for l in range(self.L):
+            x = nn.Dense(d // (2 ** (l + 1)), name=f"fc{l}")(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out, name="out")(x)
+
+
+class ReconstructX(nn.Module):
+    """Feature decoder ``d -> d -> in_dim`` with ReLU (reference
+    ``Reconstruct_X``, models.py:785-796/924-937)."""
+
+    hidden: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.in_dim, name="fc2")(x)
+
+
+class MLPA(nn.Module):
+    """Inner-product adjacency decoder: sigmoid(Z Z^T) after an MLP
+    (reference ``MLP_A``, models.py:940-956)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.hidden, name="fc2")(x)
+        return jax.nn.sigmoid(x @ x.T)

@@ -25,15 +25,16 @@ module, so it effectively saves the *last* epoch (exp_pretraining.py:69-72
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import DatasetSpec
 from ..data.loader import Capacities, GraphDataset, batch_iterator
 from ..utils import metrics as M
-from ..utils.metric_wrapper import MetricWrapper
+from ..utils.profiling import StepTimer
 from .trainer import TrainState
 
 
@@ -55,6 +56,7 @@ def run_pretraining(step_fn: Callable, state: TrainState,
     best_epoch = -1
     bad_epochs = 0
     history: List[float] = []
+    timer = StepTimer()
 
     for epoch in range(epochs):
         total = 0.0
@@ -62,13 +64,18 @@ def run_pretraining(step_fn: Callable, state: TrainState,
         for g, sub in batch_iterator(ds, batch_size, caps, shuffle=True,
                                      seed=seed + epoch):
             rng, k = jax.random.split(rng)
-            state, losses = step_fn(state, g, sub, k)
-            total += float(losses.total)
+            n_edges = int(np.asarray(g.edge_mask).sum()
+                          + np.asarray(sub.edge_mask).sum())
+            with timer.step(edges=n_edges,
+                            graphs=int(np.asarray(g.graph_mask).sum())):
+                state, losses = step_fn(state, g, sub, k)
+                total += float(losses.total)   # sync point inside timing
             nb += 1
         epoch_loss = total / max(nb, 1)
         history.append(epoch_loss)
         if log:
-            log(f"pretrain epoch {epoch}: loss {epoch_loss:.5f}")
+            log(f"pretrain epoch {epoch}: loss {epoch_loss:.5f} "
+                f"({timer.edges_per_s:.0f} edges/s)")
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             best_epoch = epoch
@@ -85,7 +92,8 @@ def run_pretraining(step_fn: Callable, state: TrainState,
     if best_vars is None:   # track_best=False -> reference aliasing: last
         best_vars = _snapshot(state)
     return state, {"best_variables": best_vars, "best_loss": best_loss,
-                   "best_epoch": best_epoch, "history": history}
+                   "best_epoch": best_epoch, "history": history,
+                   "throughput": timer.summary()}
 
 
 def _metric_fn(spec: DatasetSpec) -> Callable:
@@ -142,10 +150,26 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
     t_start = time.time()
     history = []
 
+    accum = max(int(getattr(spec, "grad_accum", 1)), 1)
+
     for epoch in range(epochs):
         total, nb = 0.0, 0
+        pending = []
         for g, sub in batch_iterator(train_ds, batch_size, caps,
                                      shuffle=True, seed=seed + epoch):
+            if accum > 1:
+                # stack `accum` batches on a leading axis for one
+                # accumulated update (train_pep_func.py:165-173); a
+                # ragged tail group is dropped like the reference's
+                # modulo check
+                pending.append((g, sub))
+                if len(pending) < accum:
+                    continue
+                g = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[p[0] for p in pending])
+                sub = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *[p[1] for p in pending])
+                pending = []
             rng, k = jax.random.split(rng)
             state, loss = step_fn(state, g, sub, k)
             total += float(loss)

@@ -141,10 +141,17 @@ _FINETUNE_LOSSES = {
 
 def make_finetune_step(model, tx: optax.GradientTransformation,
                        loss_type: str = "bce",
+                       grad_accum: int = 1,
                        donate: bool = True) -> Callable:
     """Jitted supervised fine-tune step.  ``loss_type`` mirrors the
     per-dataset loss table (SURVEY.md §2.2).  Labels/masks come from the
-    GraphBatch; padded graphs are masked out of the loss."""
+    GraphBatch; padded graphs are masked out of the loss.
+
+    ``grad_accum`` > 1 reproduces the reference's gradient accumulation
+    (peptides-func accumulates 2 batches before stepping,
+    train_pep_func.py:165-173): the step takes stacked batches with a
+    leading accumulation axis, averages the gradients, and applies one
+    update."""
     if loss_type not in _FINETUNE_LOSSES:
         raise ValueError(f"unknown loss {loss_type!r}; "
                          f"one of {sorted(_FINETUNE_LOSSES)}")
@@ -166,8 +173,26 @@ def make_finetune_step(model, tx: optax.GradientTransformation,
     def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
              rng) -> Tuple[TrainState, jnp.ndarray]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (loss, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, g, sub, rng)
+        if grad_accum == 1:
+            (_, (loss, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, g, sub, rng)
+        else:
+            def acc_body(carry, inputs):
+                grads_sum, loss_sum, bs = carry
+                g_i, sub_i, rng_i = inputs
+                (_, (loss_i, bs)), grads_i = grad_fn(
+                    state.params, bs, g_i, sub_i, rng_i)
+                grads_sum = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads_sum, grads_i)
+                return (grads_sum, loss_sum + loss_i, bs), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, grad_accum)
+            (grads, loss, new_bs), _ = jax.lax.scan(
+                acc_body, (zero, jnp.asarray(0.0), state.batch_stats),
+                (g, sub, rngs))
+            grads = jax.tree_util.tree_map(lambda a: a / grad_accum, grads)
+            loss = loss / grad_accum
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(params=new_params, batch_stats=new_bs,

@@ -178,3 +178,74 @@ def accuracy_tu(scores: np.ndarray, targets: np.ndarray) -> float:
     targets = np.asarray(targets).reshape(scores.shape[0], -1)[:, 0]
     pred = scores.argmax(axis=1)
     return float((pred == targets).sum())
+
+
+# ---------------------------------------------------------------------------
+# Clustering metrics (reference metrics.py:219-285, DMoN-derived) — part of
+# the inventory (SURVEY.md C20); dense-NumPy equivalents of the sparse
+# originals.
+
+
+def _pair_counts(y_true: np.ndarray, y_pred: np.ndarray):
+    """(TP, FP, FN, TN) pair counts from the contingency matrix, exactly as
+    the reference's ``_compute_counts`` (metrics.py:222-235)."""
+    y_true = np.asarray(y_true)
+    y_pred = np.asarray(y_pred)
+    t_classes, t_idx = np.unique(y_true, return_inverse=True)
+    p_classes, p_idx = np.unique(y_pred, return_inverse=True)
+    contingency = np.zeros((len(t_classes), len(p_classes)), dtype=np.int64)
+    np.add.at(contingency, (t_idx, p_idx), 1)
+    same_true = contingency.max(axis=1)
+    same_pred = contingency.max(axis=0)
+    diff_true = contingency.sum(axis=1) - same_true
+    diff_pred = contingency.sum(axis=0) - same_pred
+    total = contingency.sum()
+    tp = (same_true * (same_true - 1)).sum()
+    fp = (diff_true * same_true * 2).sum()
+    fn = (diff_pred * same_pred * 2).sum()
+    tn = total * (total - 1) - tp - fp - fn
+    return tp, fp, fn, tn
+
+
+def cluster_precision(y_true, y_pred) -> float:
+    tp, fp, _, _ = _pair_counts(y_true, y_pred)
+    return float(tp / (tp + fp))
+
+
+def cluster_recall(y_true, y_pred) -> float:
+    tp, _, fn, _ = _pair_counts(y_true, y_pred)
+    return float(tp / (tp + fn))
+
+
+def cluster_accuracy(y_true, y_pred) -> float:
+    tp, fp, fn, tn = _pair_counts(y_true, y_pred)
+    return float((tp + tn) / (tp + fp + fn + tn))
+
+
+def modularity(adjacency: np.ndarray, clusters: np.ndarray) -> float:
+    """Graph modularity over a dense adjacency (metrics.py:239-257)."""
+    adjacency = np.asarray(adjacency, dtype=np.float64)
+    clusters = np.asarray(clusters)
+    degrees = adjacency.sum(axis=0)
+    n_edges = degrees.sum()          # = 2|E| for symmetric A
+    result = 0.0
+    for cid in np.unique(clusters):
+        idx = np.where(clusters == cid)[0]
+        sub = adjacency[np.ix_(idx, idx)]
+        result += sub.sum() - degrees[idx].sum() ** 2 / n_edges
+    return float(result / n_edges)
+
+
+def conductance(adjacency: np.ndarray, clusters: np.ndarray) -> float:
+    """Fraction of inter-cluster edge mass (metrics.py:274-285; the
+    reference's variable names swap inter/intra — behavior preserved)."""
+    adjacency = np.asarray(adjacency, dtype=np.float64)
+    clusters = np.asarray(clusters)
+    inside = 0.0
+    outside = 0.0
+    for cid in np.unique(clusters):
+        mask = clusters == cid
+        sub = adjacency[mask, :]
+        inside += sub[:, mask].sum()
+        outside += sub[:, ~mask].sum()
+    return float(outside / (inside + outside))

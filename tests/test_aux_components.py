@@ -1,0 +1,149 @@
+"""Auxiliary components: positional encodings, clustering metrics,
+results tracker, misc heads, split table."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.graph.pos_enc import laplacian_pe, wl_pe
+from scgib_tpu.utils.metrics import (cluster_accuracy, cluster_precision,
+                                     cluster_recall, conductance,
+                                     modularity)
+from scgib_tpu.utils.results import append_result, update_evaluation_value
+
+
+def test_laplacian_pe_properties():
+    g = random_dataset(1, seed=3, min_nodes=10, max_nodes=14)[0]
+    pe = laplacian_pe(g, 4)
+    assert pe.shape == (g.num_nodes, 4)
+    assert np.all(np.isfinite(pe))
+    # eigenvectors of the normalized Laplacian: check L v = lambda v holds
+    n = g.num_nodes
+    A = np.zeros((n, n))
+    A[g.senders, g.receivers] = 1.0
+    d = A.sum(1).clip(1) ** -0.5
+    L = np.eye(n) - d[:, None] * A * d[None, :]
+    for i in range(4):
+        v = pe[:, i].astype(np.float64)
+        lv = L @ v
+        # Rayleigh residual should be tiny for a true eigenvector
+        lam = v @ lv / max(v @ v, 1e-12)
+        assert np.linalg.norm(lv - lam * v) < 1e-4
+
+
+def test_wl_pe_distinguishes_structure():
+    from scgib_tpu.graph.batching import GraphData, symmetrize_edges
+
+    # path graph 0-1-2-3: after ONE adopted round (reference max_iter=2
+    # discards the second refinement) ends/middles split into 2 colors
+    s, r = symmetrize_edges(np.array([0, 1, 2]), np.array([1, 2, 3]))
+    g = GraphData(senders=s, receivers=r,
+                  node_feat=np.zeros((4, 2), np.float32))
+    colors = wl_pe(g)
+    assert colors[0] == colors[3]       # degree-1 ends
+    assert colors[1] == colors[2]       # degree-2 middles
+    assert colors[0] != colors[1]
+
+
+def test_clustering_metrics():
+    # two perfect communities
+    n = 6
+    A = np.zeros((n, n))
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]:
+        A[i, j] = A[j, i] = 1.0
+    clusters = np.array([0, 0, 0, 1, 1, 1])
+    assert modularity(A, clusters) == pytest.approx(0.5)
+    assert conductance(A, clusters) == pytest.approx(0.0)
+    # one cross edge raises conductance above 0
+    A[2, 3] = A[3, 2] = 1.0
+    assert conductance(A, clusters) > 0.0
+
+    y_true = np.array([0, 0, 0, 1, 1, 1])
+    assert cluster_precision(y_true, y_true) == 1.0
+    assert cluster_recall(y_true, y_true) == 1.0
+    assert cluster_accuracy(y_true, y_true) == 1.0
+    y_pred = np.array([0, 0, 1, 1, 1, 1])
+    assert cluster_precision(y_true, y_pred) < 1.0
+
+
+def test_pair_counts_match_sklearn_formula():
+    from sklearn.metrics.cluster import contingency_matrix
+
+    from scgib_tpu.utils.metrics import _pair_counts
+
+    rng = np.random.default_rng(5)
+    y_true = rng.integers(0, 4, 50)
+    y_pred = rng.integers(0, 3, 50)
+    c = contingency_matrix(y_true, y_pred)
+    same_t = c.max(1)
+    same_p = c.max(0)
+    tp = (same_t * (same_t - 1)).sum()
+    fp = ((c.sum(1) - same_t) * same_t * 2).sum()
+    fn = ((c.sum(0) - same_p) * same_p * 2).sum()
+    tn = c.sum() * (c.sum() - 1) - tp - fp - fn
+    assert _pair_counts(y_true, y_pred) == (tp, fp, fn, tn)
+
+
+def test_results_tracker(tmp_path):
+    xlsx = str(tmp_path / "results.xlsx")
+    update_evaluation_value(xlsx, "BACE", "Mean", 0.86)
+    update_evaluation_value(xlsx, "BACE", "Variant", 0.01)
+    written = update_evaluation_value(xlsx, "Tox21", "Mean", 0.80)
+    import pandas as pd
+
+    # openpyxl may be absent -> CSV fallback; read whatever was written
+    if written.endswith(".xlsx"):
+        df = pd.read_excel(written, index_col=0)
+    else:
+        df = pd.read_csv(written, index_col=0)
+    assert df.loc["BACE", "Mean"] == 0.86
+    assert df.loc["Tox21", "Mean"] == 0.80
+
+    jl = str(tmp_path / "journal.jsonl")
+    append_result(jl, {"dataset": "BACE", "metric": "rocauc",
+                       "value": 0.86})
+    append_result(jl, {"dataset": "Tox21", "metric": "rocauc",
+                       "value": 0.80})
+    import json
+
+    lines = [json.loads(l) for l in open(jl)]
+    assert len(lines) == 2 and lines[0]["dataset"] == "BACE"
+
+
+def test_misc_heads_shapes():
+    from scgib_tpu.models.layers import MLPA, MLPReadout, ReconstructX
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(10, 64)).astype(np.float32))
+    m = MLPReadout(out=3)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (10, 3)
+
+    m = ReconstructX(hidden=64, in_dim=9)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (10, 9)
+
+    m = MLPA(hidden=16)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (10, 10)
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+def test_reference_split_table():
+    from scgib_tpu.config import DATASETS, reference_split
+
+    # BACE (molecules.py:251-255): train 900, TEST middle 300, val tail
+    tr, va, te = reference_split(1513, DATASETS["BACE"])
+    assert (len(tr), len(te), len(va)) == (900, 300, 313)
+    # FreeSolv (molecules.py:216-219): train/VAL/test order
+    tr, va, te = reference_split(642, DATASETS["FreeSolv"])
+    assert (len(tr), len(va), len(te)) == (380, 120, 142)
+    # SIDER: test == val == tail (molecules.py:232-234)
+    tr, va, te = reference_split(1297, DATASETS["SIDER"])
+    assert len(tr) == 1000 and list(va) == list(te)
+    # Tox21: 4800 / test 1600 / val rest
+    tr, va, te = reference_split(7778, DATASETS["Tox21"])
+    assert (len(tr), len(te), len(va)) == (4800, 1600, 1378)
