@@ -27,7 +27,8 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scgib_tpu.data.synthetic import random_dataset
-from scgib_tpu.graph.batching import pack_graphs, pack_subgraphs
+from scgib_tpu.graph.batching import (max_egonet_size, pack_graphs,
+                                      pack_subgraphs, pack_subgraphs_dense)
 from scgib_tpu.graph.egonet import extract_egonets
 from scgib_tpu.models.scgib import PretrainModel
 from scgib_tpu.train.trainer import (TrainState, adam_l2,
@@ -54,16 +55,26 @@ def main():
                             feat_dim=FEAT)
     egos = [extract_egonets(g, 1) for g in graphs]
     g = pack_graphs(graphs, NODE_CAP, EDGE_CAP, BATCH_GRAPHS)
-    sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP)
+    coo_sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP)
 
     real_edges = int(np.asarray(g.edge_mask).sum())
-    real_sub_edges = int(np.asarray(sub.edge_mask).sum())
+    real_sub_edges = int(np.asarray(coo_sub.edge_mask).sum())
     # message-passing work per step: 4 GIN layers over both edge sets
     edges_per_step = real_edges + real_sub_edges
 
+    # COO segment mode is the default: measured 3x faster than the dense
+    # ego-net blocks on v5e (dense pays ~2.7x padding waste in the
+    # conv MLP / BN rows); BENCH_SUBGRAPH_MODE=dense benches the other
+    mode = os.environ.get("BENCH_SUBGRAPH_MODE", "coo")
+    if mode == "dense":
+        s_max = ((max_egonet_size(egos) + 7) // 8) * 8
+        sub = pack_subgraphs_dense(graphs, egos, NODE_CAP, s_max)
+    else:
+        sub = coo_sub
+
     impl = os.environ.get("BENCH_RECONS_IMPL", "gram")
     model = PretrainModel(in_dim=FEAT, hidden=64, d_transfer=32,
-                          recons_impl=impl)
+                          recons_impl=impl, subgraph_mode=mode)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         g, sub, train=True)

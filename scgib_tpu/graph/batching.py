@@ -222,3 +222,46 @@ def pack_subgraphs(graphs: Sequence[GraphData],
         node_feat=node_feat, node_center=node_center, node_orig=node_orig,
         node_mask=node_mask, senders=senders[order],
         receivers=receivers[order], edge_mask=edge_mask[order])
+
+
+def max_egonet_size(egonets: Sequence[EgoNets]) -> int:
+    return max((len(nl) for e in egonets for nl in e.node_lists),
+               default=1)
+
+
+def pack_subgraphs_dense(graphs: Sequence[GraphData],
+                         egonets: Sequence[EgoNets],
+                         num_centers: int,
+                         max_sub: int):
+    """Pack per-node ego-nets into a DenseSubgraphBatch (one [max_sub]
+    slot per center, dense within-ego adjacency blocks).  Center rows are
+    aligned with the owning GraphBatch's global node ids.  Raises if an
+    ego-net exceeds ``max_sub`` (choose the bucket from
+    ``max_egonet_size``)."""
+    from .container import DenseSubgraphBatch
+
+    feat_dim = graphs[0].node_feat.shape[1]
+    node_feat = np.zeros((num_centers, max_sub, feat_dim), np.float32)
+    node_orig = np.zeros((num_centers, max_sub), np.int32)
+    adj = np.zeros((num_centers, max_sub, max_sub), np.float32)
+    mask = np.zeros((num_centers, max_sub), bool)
+
+    n_off = 0
+    for g, ego in zip(graphs, egonets):
+        for v, (nl, (es, er)) in enumerate(zip(ego.node_lists,
+                                               ego.edge_lists)):
+            m = len(nl)
+            if m > max_sub:
+                raise ValueError(
+                    f"ego-net size {m} exceeds max_sub {max_sub}")
+            c = n_off + v
+            node_feat[c, :m] = g.node_feat[nl]
+            node_orig[c, :m] = n_off + np.asarray(nl)
+            mask[c, :m] = True
+            adj[c, es, er] = 1.0
+        n_off += g.num_nodes
+    if n_off > num_centers:
+        raise ValueError(f"center capacity {num_centers} < {n_off}")
+
+    return DenseSubgraphBatch(node_feat=node_feat, node_orig=node_orig,
+                              adj=adj, mask=mask)

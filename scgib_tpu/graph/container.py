@@ -127,3 +127,36 @@ class SubgraphBatch:
     @property
     def num_edges(self) -> int:
         return self.senders.shape[0]
+
+
+@struct.dataclass
+class DenseSubgraphBatch:
+    """Dense-block ego-net batch: one fixed-size slot per center node.
+
+    The TPU-native alternative to the COO ``SubgraphBatch`` for small
+    ego-nets (k=1 molecular: |ego| = 1+deg <= ~8): row ``c`` holds the
+    ego-net of the owning GraphBatch's global node ``c``, padded to
+    ``max_sub`` members, with a dense [S, S] adjacency block.  All message
+    passing becomes batched dense einsum on the MXU — no gather/scatter,
+    no segment ops (SURVEY.md §7.3 'ego-net subgraph batch' hard part).
+
+    Shapes (C = owning batch node capacity, S = max_sub):
+      node_feat: [C, S, F] float — member features (zeros on padding)
+      node_orig: [C, S]    int32 — member's global node id (gather map)
+      adj:       [C, S, S] float — 0/1 within-ego adjacency blocks
+      mask:      [C, S]    bool  — True for real members (all-False rows
+                                   for padded centers)
+    """
+
+    node_feat: jnp.ndarray
+    node_orig: jnp.ndarray
+    adj: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def num_centers(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def max_sub(self) -> int:
+        return self.node_feat.shape[1]

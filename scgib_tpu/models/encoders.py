@@ -205,3 +205,45 @@ def make_encoder(name: str, hidden: int, num_layers: int = 4,
                                 num_heads=num_heads, name=module_name)
     raise ValueError(f"unknown encoder '{name}' "
                      "(expected GIN | GCN | GraphSAGE | Transformer)")
+
+
+class DenseGIN(nn.Module):
+    """GIN over dense-block ego-nets ([C, S, d] features + [C, S, S]
+    adjacency): the aggregation is one batched einsum instead of gather +
+    segment-sum.
+
+    Parameter structure is IDENTICAL to ``GIN`` (conv{i}: MLP2, bn{i}:
+    MaskedBatchNorm), so the same variables drive both paths and outputs
+    match the COO encoder up to reduction order
+    (tests/test_dense_subgraphs.py).
+
+    Measured on v5e-1 (bench.py BENCH_SUBGRAPH_MODE): the dense path is
+    ~3x SLOWER than the sorted-COO segment path for molecular k=1
+    ego-nets — padding every center to S rows multiplies the conv-MLP and
+    BatchNorm row count by ~2.7x, which outweighs the saved scatter.  It
+    is kept as a tested alternative (it wins when ego-net sizes are
+    near-uniform and S is tight) but 'coo' is the default."""
+
+    hidden: int = 64
+    num_convs: int = 4
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, h, adj, *, mask=None, train: bool = True):
+        c, s, _ = h.shape
+        flat_mask = mask.reshape(c * s) if mask is not None else None
+        if mask is not None:
+            h = h * mask.astype(h.dtype)[:, :, None]
+        for i in range(self.num_convs):
+            agg = jnp.einsum("cij,cjd->cid", adj, h,
+                             preferred_element_type=h.dtype)
+            z = (h + agg).reshape(c * s, -1)
+            z = MLP2(self.hidden, self.hidden, name=f"conv{i}")(z)
+            z = MaskedBatchNorm(name=f"bn{i}",
+                                axis_name=self.axis_name)(z, flat_mask,
+                                                          train=train)
+            z = nn.relu(z)
+            h = z.reshape(c, s, self.hidden)
+            if mask is not None:
+                h = h * mask.astype(h.dtype)[:, :, None]
+        return h

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..graph.container import GraphBatch, SubgraphBatch
+from ..graph.container import (DenseSubgraphBatch, GraphBatch,
+                               SubgraphBatch)
 from ..ops.segment import (segment_softmax, segment_std_mean, segment_sum)
 from .encoders import make_encoder
 from .layers import MLP2, SegmentBatchNorm
@@ -86,16 +87,30 @@ class SCGIBCore(nn.Module):
                                  # (for golden/parity tests; reference has no
                                  # such mode — its noise is always on)
     axis_name: Optional[str] = None  # sync-BN across the DP mesh axis
+    subgraph_mode: str = "coo"   # 'coo' (SubgraphBatch segment ops) |
+                                 # 'dense' (DenseSubgraphBatch batched
+                                 # einsum — MXU path, GIN only; parameter
+                                 # trees are identical between the two)
 
     def setup(self):
+        from .encoders import DenseGIN
+
         self.encoder1 = make_encoder(self.encoder, self.hidden,
                                      self.num_layers, self.num_heads,
                                      module_name="encoder1",
                                      axis_name=self.axis_name)
-        self.encoder2 = make_encoder(self.encoder, self.hidden,
-                                     self.num_layers, self.num_heads,
-                                     module_name="encoder2",
-                                     axis_name=self.axis_name)
+        if self.subgraph_mode == "dense":
+            if self.encoder != "GIN":
+                raise ValueError("subgraph_mode='dense' supports GIN only")
+            self.encoder2 = DenseGIN(hidden=self.hidden,
+                                     num_convs=self.num_layers,
+                                     axis_name=self.axis_name,
+                                     name="encoder2")
+        else:
+            self.encoder2 = make_encoder(self.encoder, self.hidden,
+                                         self.num_layers, self.num_heads,
+                                         module_name="encoder2",
+                                         axis_name=self.axis_name)
         self.compressor = Compressor(self.hidden, name="compressor")
         self.attn_layer = nn.Dense(1, name="attn_layer")
         if self.readout == "s2s":
@@ -163,9 +178,13 @@ class SCGIBCore(nn.Module):
         h = self.encoder1(x_proj, g.senders, g.receivers,
                           node_mask=g.node_mask, edge_mask=g.edge_mask,
                           train=train)
-        h_sub = self.encoder2(x_sub_proj, sub.senders, sub.receivers,
-                              node_mask=sub.node_mask,
-                              edge_mask=sub.edge_mask, train=train)
+        if self.subgraph_mode == "dense":
+            h_sub = self.encoder2(x_sub_proj, sub.adj, mask=sub.mask,
+                                  train=train)                   # [C, S, d]
+        else:
+            h_sub = self.encoder2(x_sub_proj, sub.senders, sub.receivers,
+                                  node_mask=sub.node_mask,
+                                  edge_mask=sub.edge_mask, train=train)
 
         # 3. clean per-graph readout (models.py:714-718)
         clean_readout = self._graph_readout(h, g)
@@ -175,8 +194,12 @@ class SCGIBCore(nn.Module):
 
         # 5. candidate embedding per center node: sum over its ego-net
         #    (models.py:724-725)
-        cand = segment_sum(h_sub, sub.node_center, g.num_nodes,
-                           mask=sub.node_mask)                   # [N, d]
+        if self.subgraph_mode == "dense":
+            cand = jnp.sum(h_sub * sub.mask.astype(h_sub.dtype)[:, :, None],
+                           axis=1)                               # [N, d]
+        else:
+            cand = segment_sum(h_sub, sub.node_center, g.num_nodes,
+                               mask=sub.node_mask)               # [N, d]
 
         if not self.use_att:
             im = jnp.concatenate([noisy, cand], axis=-1)
@@ -244,6 +267,7 @@ class PretrainModel(nn.Module):
                                       # before forward (exp_pretraining.py:
                                       # 312-314, train_moleculenetBACE.py:
                                       # 150-152)
+    subgraph_mode: str = "coo"        # see SCGIBCore.subgraph_mode
     axis_name: Optional[str] = None   # data-parallel mesh axis: contrastive
                                       # denominator + loss normalizers span
                                       # the global batch (SURVEY.md §7.3)
@@ -256,7 +280,9 @@ class PretrainModel(nn.Module):
                               num_heads=self.num_heads, readout=self.readout,
                               use_att=self.use_att,
                               deterministic=self.deterministic,
-                              axis_name=self.axis_name, name="core")
+                              axis_name=self.axis_name,
+                              subgraph_mode=self.subgraph_mode,
+                              name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         if self.readout == "s2s":
             self.s2s = Set2Set(self.hidden, name="s2s")
@@ -325,6 +351,7 @@ class FinetuneModel(nn.Module):
     regression: bool = False   # True for ZINC/Peptides-struct/FreeSolv/ESOL
     deterministic: bool = False
     normalize_input: bool = True
+    subgraph_mode: str = "coo"
     axis_name: Optional[str] = None
 
     def setup(self):
@@ -335,7 +362,9 @@ class FinetuneModel(nn.Module):
                               num_heads=self.num_heads, readout=self.readout,
                               use_att=self.use_att,
                               deterministic=self.deterministic,
-                              axis_name=self.axis_name, name="core")
+                              axis_name=self.axis_name,
+                              subgraph_mode=self.subgraph_mode,
+                              name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         self.s2s = Set2Set(self.hidden, name="s2s")
         self.predict = MLP2(self.hidden, self.num_out, name="predict")
@@ -373,6 +402,7 @@ class DomainAdaptModel(nn.Module):
     use_att: bool = True
     deterministic: bool = False
     normalize_input: bool = True
+    subgraph_mode: str = "coo"
     axis_name: Optional[str] = None
 
     def setup(self):
@@ -383,7 +413,9 @@ class DomainAdaptModel(nn.Module):
                               num_heads=self.num_heads, readout=self.readout,
                               use_att=self.use_att,
                               deterministic=self.deterministic,
-                              axis_name=self.axis_name, name="core")
+                              axis_name=self.axis_name,
+                              subgraph_mode=self.subgraph_mode,
+                              name="core")
         self.head_mlp = MLP2(self.hidden, self.hidden, name="head_mlp")
         self.s2s = Set2Set(self.hidden, name="s2s")
         self.s2s_rev = Set2Set(self.in_dim, name="s2s_rev")
