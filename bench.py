@@ -54,8 +54,11 @@ def main():
     graphs = random_dataset(BATCH_GRAPHS, seed=0, min_nodes=10, max_nodes=30,
                             feat_dim=FEAT)
     egos = [extract_egonets(g, 1) for g in graphs]
-    g = pack_graphs(graphs, NODE_CAP, EDGE_CAP, BATCH_GRAPHS)
-    coo_sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP)
+    banded = os.environ.get("BENCH_BANDED", "1") == "1"
+    g = pack_graphs(graphs, NODE_CAP, EDGE_CAP, BATCH_GRAPHS,
+                    banded=banded)
+    coo_sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP,
+                             banded=banded)
 
     real_edges = int(np.asarray(g.edge_mask).sum())
     real_sub_edges = int(np.asarray(coo_sub.edge_mask).sum())
@@ -71,6 +74,11 @@ def main():
         sub = pack_subgraphs_dense(graphs, egos, NODE_CAP, s_max)
     else:
         sub = coo_sub
+
+    # device-resident batch: without this every dispatch re-uploads the
+    # (numpy) batch — ~20 MB with band blocks — through the host link
+    g = jax.device_put(g)
+    sub = jax.device_put(sub)
 
     impl = os.environ.get("BENCH_RECONS_IMPL", "gram")
     model = PretrainModel(in_dim=FEAT, hidden=64, d_transfer=32,

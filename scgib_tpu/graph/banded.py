@@ -1,0 +1,103 @@
+"""Banded block-dense adjacency — the TPU-native SpMM layout.
+
+Because the packer lays graphs out contiguously, every edge (u, v) of a
+packed batch satisfies |u - v| < max graph size.  The adjacency is
+therefore a banded matrix: tiling rows into blocks of ``tile`` and giving
+each row-tile a dense [tile, band] slab whose columns start at
+``col_off[t]`` turns SpMM into per-tile dense matmuls
+
+    agg[t*tile:(t+1)*tile] = blocks[t] @ h[col_off[t] : col_off[t]+band]
+
+— pure MXU work, no gather or scatter (SURVEY.md §7.2 'Pallas versions
+tuned for padded CSR').  The Pallas kernel in ``ops.pallas.banded`` and
+the XLA reference in ``ops.spmm_banded`` both consume this layout.
+
+Fits whenever the largest graph has at most ``band - tile`` nodes (64-node
+molecules with the defaults); ``fits_band`` reports feasibility so callers
+can fall back to COO for outliers (e.g. unbucketed peptides).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BandedAdjacency:
+    """blocks: [T, tile, band] float32 0/1; col_off: [T] int32 (multiples
+    of ``align``); num_nodes: padded node capacity (= T * tile)."""
+
+    blocks: np.ndarray
+    col_off: np.ndarray
+    num_nodes: int
+
+    @property
+    def tile(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def band(self) -> int:
+        return self.blocks.shape[2]
+
+
+def fits_band(senders: np.ndarray, receivers: np.ndarray,
+              tile: int = 128, band: int = 256,
+              align: int = 64) -> bool:
+    """True iff every edge's sender falls inside its receiver-tile's
+    band window."""
+    t0 = (receivers // tile) * tile
+    lo = np.maximum(t0 + tile // 2 - band // 2, 0)
+    lo = (lo // align) * align
+    return bool(np.all((senders >= lo) & (senders < lo + band)))
+
+
+def pack_banded(senders: np.ndarray, receivers: np.ndarray,
+                edge_mask: Optional[np.ndarray], num_nodes: int,
+                tile: int = 128, band: int = 256,
+                align: int = 64) -> BandedAdjacency:
+    """Build the banded layout from a (masked) COO edge list.
+
+    Raises ValueError if an edge escapes its band (check ``fits_band``
+    first, or catch and fall back to the COO segment path).
+    """
+    assert num_nodes % tile == 0, "node capacity must be a tile multiple"
+    assert band % align == 0 and tile % align == 0
+    n_tiles = num_nodes // tile
+
+    if edge_mask is not None:
+        keep = np.asarray(edge_mask, dtype=bool)
+        senders = np.asarray(senders)[keep]
+        receivers = np.asarray(receivers)[keep]
+
+    t_idx = receivers // tile
+    t0 = t_idx * tile
+    lo = np.maximum(t0 + tile // 2 - band // 2, 0)
+    lo = (lo // align) * align
+    col = senders - lo
+    if len(col) and (col.min() < 0 or col.max() >= band):
+        raise ValueError(
+            "edge escapes band window; increase band or use the COO path")
+
+    blocks = np.zeros((n_tiles, tile, band), dtype=np.float32)
+    # accumulate (duplicate edges add, matching segment-sum semantics)
+    np.add.at(blocks, (t_idx, receivers - t0, col), 1.0)
+
+    col_off = np.zeros(n_tiles, dtype=np.int32)
+    all_t0 = np.arange(n_tiles, dtype=np.int64) * tile
+    all_lo = np.maximum(all_t0 + tile // 2 - band // 2, 0)
+    col_off[:] = (all_lo // align) * align
+    # clamp so the window never reads past the node array
+    col_off = np.minimum(col_off, max(num_nodes - band, 0)).astype(np.int32)
+    # recompute columns against the clamped offsets
+    blocks[:] = 0.0
+    col = senders - col_off[t_idx]
+    if len(col) and (col.min() < 0 or col.max() >= band):
+        raise ValueError(
+            "edge escapes band window; increase band or use the COO path")
+    np.add.at(blocks, (t_idx, receivers - t0, col), 1.0)
+
+    return BandedAdjacency(blocks=blocks, col_off=col_off,
+                           num_nodes=num_nodes)

@@ -84,12 +84,15 @@ def pack_graphs(graphs: Sequence[GraphData],
                 num_nodes: int,
                 num_edges: int,
                 num_graphs: int,
-                num_tasks: Optional[int] = None) -> GraphBatch:
+                num_tasks: Optional[int] = None,
+                banded: bool = True) -> GraphBatch:
     """Pack graphs into one padded GraphBatch with the given capacities.
 
     Edges are sorted by receiver (then sender) so device-side segment
     reductions take the sorted path.  Raises if capacities are exceeded.
-    """
+    ``banded=True`` additionally emits the block-dense banded adjacency
+    (graph/banded.py) when every graph fits the band — the GIN MXU fast
+    path; silently omitted otherwise."""
     total_n = sum(g.num_nodes for g in graphs)
     total_e = sum(g.num_edges for g in graphs)
     if total_n > num_nodes:
@@ -146,10 +149,30 @@ def pack_graphs(graphs: Sequence[GraphData],
     receivers = receivers[order]
     edge_mask = edge_mask[order]
 
+    band_blocks = band_col_off = None
+    if banded:
+        band_blocks, band_col_off = _try_banded(senders, receivers,
+                                                edge_mask, num_nodes)
+
     return GraphBatch(
         node_feat=node_feat, node_graph=node_graph, node_mask=node_mask,
         senders=senders, receivers=receivers, edge_mask=edge_mask,
-        graph_mask=graph_mask, labels=labels, label_mask=label_mask)
+        graph_mask=graph_mask, labels=labels, label_mask=label_mask,
+        band_blocks=band_blocks, band_col_off=band_col_off)
+
+
+def _try_banded(senders, receivers, edge_mask, num_nodes,
+                tile: int = 128, band: int = 256):
+    from .banded import pack_banded
+
+    if num_nodes % tile != 0 or num_nodes < band:
+        return None, None
+    try:
+        b = pack_banded(senders, receivers, edge_mask, num_nodes, tile,
+                        band)
+    except ValueError:
+        return None, None
+    return b.blocks, b.col_off
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,7 +190,8 @@ class EgoNets:
 def pack_subgraphs(graphs: Sequence[GraphData],
                    egonets: Sequence[EgoNets],
                    num_sub_nodes: int,
-                   num_sub_edges: int) -> SubgraphBatch:
+                   num_sub_edges: int,
+                   banded: bool = True) -> SubgraphBatch:
     """Flatten per-node ego-nets of a batch into one padded SubgraphBatch.
 
     Mirrors the reference's ``chain.from_iterable(batch_subgraphs)`` +
@@ -218,10 +242,18 @@ def pack_subgraphs(graphs: Sequence[GraphData],
     node_center[s_off:] = 0
 
     order = np.lexsort((senders, receivers))
+    senders = senders[order]
+    receivers = receivers[order]
+    edge_mask = edge_mask[order]
+    band_blocks = band_col_off = None
+    if banded:
+        band_blocks, band_col_off = _try_banded(senders, receivers,
+                                                edge_mask, num_sub_nodes)
     return SubgraphBatch(
         node_feat=node_feat, node_center=node_center, node_orig=node_orig,
-        node_mask=node_mask, senders=senders[order],
-        receivers=receivers[order], edge_mask=edge_mask[order])
+        node_mask=node_mask, senders=senders,
+        receivers=receivers, edge_mask=edge_mask,
+        band_blocks=band_blocks, band_col_off=band_col_off)
 
 
 def max_egonet_size(egonets: Sequence[EgoNets]) -> int:

@@ -65,6 +65,11 @@ class GraphBatch:
     graph_mask: jnp.ndarray
     labels: Optional[jnp.ndarray] = None
     label_mask: Optional[jnp.ndarray] = None
+    # optional banded block-dense adjacency (graph/banded.py): when set,
+    # GIN aggregation uses per-tile dense MXU matmuls instead of
+    # gather + segment-sum (measured ~7.6x faster per layer on v5e)
+    band_blocks: Optional[jnp.ndarray] = None    # [T, tile, band]
+    band_col_off: Optional[jnp.ndarray] = None   # [T]
 
     @property
     def num_nodes(self) -> int:
@@ -119,6 +124,8 @@ class SubgraphBatch:
     senders: jnp.ndarray
     receivers: jnp.ndarray
     edge_mask: jnp.ndarray
+    band_blocks: Optional[jnp.ndarray] = None    # see GraphBatch
+    band_col_off: Optional[jnp.ndarray] = None
 
     @property
     def num_nodes(self) -> int:

@@ -175,16 +175,24 @@ class SCGIBCore(nn.Module):
                          x_proj: jnp.ndarray, x_sub_proj: jnp.ndarray,
                          train: bool = True) -> CoreFeatures:
         # 1-2. twin encoders over the graph batch and the flattened ego-nets
+        enc_kw = {}
+        sub_kw = {}
+        if self.encoder == "GIN":
+            if g.band_blocks is not None:
+                enc_kw["band"] = (g.band_blocks, g.band_col_off)
+            if getattr(sub, "band_blocks", None) is not None:
+                sub_kw["band"] = (sub.band_blocks, sub.band_col_off)
         h = self.encoder1(x_proj, g.senders, g.receivers,
                           node_mask=g.node_mask, edge_mask=g.edge_mask,
-                          train=train)
+                          train=train, **enc_kw)
         if self.subgraph_mode == "dense":
             h_sub = self.encoder2(x_sub_proj, sub.adj, mask=sub.mask,
                                   train=train)                   # [C, S, d]
         else:
             h_sub = self.encoder2(x_sub_proj, sub.senders, sub.receivers,
                                   node_mask=sub.node_mask,
-                                  edge_mask=sub.edge_mask, train=train)
+                                  edge_mask=sub.edge_mask, train=train,
+                                  **sub_kw)
 
         # 3. clean per-graph readout (models.py:714-718)
         clean_readout = self._graph_readout(h, g)

@@ -1,0 +1,138 @@
+"""Banded block-dense SpMM: layout packing, XLA reference vs segment ops,
+and the fused Pallas GIN layer (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.graph.banded import fits_band, pack_banded
+from scgib_tpu.graph.batching import pack_graphs
+from scgib_tpu.ops.spmm import gather_sum
+from scgib_tpu.ops.spmm_banded import banded_spmm
+
+TILE, BAND = 128, 256
+
+
+@pytest.fixture(scope="module")
+def batch():
+    graphs = random_dataset(24, seed=31, min_nodes=8, max_nodes=30)
+    return pack_graphs(graphs, 768, 4096, 24)
+
+
+def test_fits_and_pack(batch):
+    g = batch
+    s = np.asarray(g.senders)
+    r = np.asarray(g.receivers)
+    m = np.asarray(g.edge_mask)
+    assert fits_band(s[m], r[m], TILE, BAND)
+    banded = pack_banded(s, r, m, g.num_nodes, TILE, BAND)
+    assert banded.blocks.shape == (g.num_nodes // TILE, TILE, BAND)
+    assert int(banded.blocks.sum()) == int(m.sum())
+
+
+def test_banded_spmm_matches_segment(batch):
+    g = batch
+    banded = pack_banded(np.asarray(g.senders), np.asarray(g.receivers),
+                         np.asarray(g.edge_mask), g.num_nodes, TILE, BAND)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 64)).astype(np.float32))
+    want = gather_sum(h, g.senders, g.receivers, g.num_nodes, g.edge_mask)
+    got = banded_spmm(jnp.asarray(banded.blocks),
+                      jnp.asarray(banded.col_off), h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_layer_matches_reference(batch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scgib_tpu.ops.pallas.banded import (gin_banded_layer,
+                                             gin_banded_layer_reference)
+
+    g = batch
+    banded = pack_banded(np.asarray(g.senders), np.asarray(g.receivers),
+                         np.asarray(g.edge_mask), g.num_nodes, TILE, BAND)
+    rng = np.random.default_rng(1)
+    d = 64
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    args = (jnp.asarray(banded.blocks), jnp.asarray(banded.col_off),
+            h, w1, b1, w2, b2)
+
+    want = gin_banded_layer_reference(*args)
+    with pltpu.force_tpu_interpret_mode():
+        got = gin_banded_layer(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_layer_grads_match(batch):
+    from scgib_tpu.ops.pallas.banded import (gin_banded_layer,
+                                             gin_banded_layer_reference)
+
+    g = batch
+    banded = pack_banded(np.asarray(g.senders), np.asarray(g.receivers),
+                         np.asarray(g.edge_mask), g.num_nodes, TILE, BAND)
+    rng = np.random.default_rng(2)
+    d = 32
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    blocks = jnp.asarray(banded.blocks)
+    coff = jnp.asarray(banded.col_off)
+
+    def loss_ref(h_, w1_, b1_, w2_, b2_):
+        return jnp.sum(gin_banded_layer_reference(
+            blocks, coff, h_, w1_, b1_, w2_, b2_) ** 2)
+
+    # the custom VJP's backward is pure XLA: compare against autodiff of
+    # the reference forward (forward values already proven equal above)
+    def loss_custom(h_, w1_, b1_, w2_, b2_):
+        from scgib_tpu.ops.pallas import banded as B
+        out = B.gin_banded_layer_reference(blocks, coff, h_, w1_, b1_,
+                                           w2_, b2_)
+        # reuse the custom bwd by differentiating the vjp-wrapped fn in
+        # interpret mode would compile the kernel; instead check _bwd
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(h, w1, b1, w2, b2)
+
+    from scgib_tpu.ops.pallas.banded import _bwd
+    out = gin_banded_layer_reference(blocks, coff, h, w1, b1, w2, b2)
+    cotangent = 2.0 * out
+    _, _, dh, dw1, db1, dw2, db2 = _bwd(
+        (blocks, coff, h, w1, b1, w2, b2), cotangent)
+    for got, want in zip((dh, dw1, db1, dw2, db2), g_ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_banded_spmm_grad_matches_gather(batch):
+    """The symmetric-A custom VJP equals autodiff through the
+    gather+segment formulation."""
+    g = batch
+    banded = pack_banded(np.asarray(g.senders), np.asarray(g.receivers),
+                         np.asarray(g.edge_mask), g.num_nodes, TILE, BAND)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.normal(size=(g.num_nodes, 32)).astype(np.float32))
+    blocks = jnp.asarray(banded.blocks)
+    coff = jnp.asarray(banded.col_off)
+
+    def f_banded(h_):
+        return jnp.sum(banded_spmm(blocks, coff, h_) ** 2)
+
+    def f_gather(h_):
+        return jnp.sum(gather_sum(h_, g.senders, g.receivers,
+                                  g.num_nodes, g.edge_mask) ** 2)
+
+    g1 = jax.grad(f_banded)(h)
+    g2 = jax.grad(f_gather)(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
