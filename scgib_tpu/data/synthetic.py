@@ -59,3 +59,39 @@ def random_dataset(num_graphs: int,
                    **kw) -> List[GraphData]:
     rng = np.random.default_rng(seed)
     return [random_molecule(rng, **kw) for _ in range(num_graphs)]
+
+
+def learnable_dataset(num_graphs: int,
+                      seed: int = 0,
+                      min_nodes: int = 8,
+                      max_nodes: int = 24,
+                      feat_dim: int = 9) -> List[GraphData]:
+    """Synthetic CLASSIFICATION task with real signal, for end-to-end
+    learning validation: half the graphs get a planted 4-clique whose
+    member nodes carry an elevated feature channel; label = clique
+    present.  A working pipeline separates the classes far above chance
+    (tests/test_end_to_end.py)."""
+    rng = np.random.default_rng(seed)
+    out: List[GraphData] = []
+    for i in range(num_graphs):
+        g = random_molecule(rng, min_nodes=min_nodes, max_nodes=max_nodes,
+                            feat_dim=feat_dim)
+        label = float(i % 2 == 0)
+        feat = g.node_feat.copy()
+        s, r = g.senders, g.receivers
+        if label > 0.5:
+            n = g.num_nodes
+            members = rng.choice(n, size=min(4, n), replace=False)
+            es, er = [], []
+            for a in members:
+                for b in members:
+                    if a != b:
+                        es.append(a)
+                        er.append(b)
+            s, r = symmetrize_edges(
+                np.concatenate([s, np.asarray(es)]),
+                np.concatenate([r, np.asarray(er)]))
+            feat[members, 0] += 4.0
+        out.append(GraphData(senders=s, receivers=r, node_feat=feat,
+                             label=np.asarray([label], np.float32)))
+    return out

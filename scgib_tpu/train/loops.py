@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DatasetSpec
-from ..data.loader import Capacities, GraphDataset, batch_iterator
+from ..data.loader import (Capacities, GraphDataset, batch_iterator,
+                           prefetch_to_device)
 from ..utils import metrics as M
 from ..utils.profiling import StepTimer
 from .trainer import TrainState
@@ -61,8 +62,12 @@ def run_pretraining(step_fn: Callable, state: TrainState,
     for epoch in range(epochs):
         total = 0.0
         nb = 0
-        for g, sub in batch_iterator(ds, batch_size, caps, shuffle=True,
-                                     seed=seed + epoch):
+        # background packer + async device upload (double buffered): the
+        # padded batch (incl. band blocks) is tens of MB — re-uploading
+        # it synchronously per step would dominate the step time
+        for g, sub in prefetch_to_device(
+                batch_iterator(ds, batch_size, caps, shuffle=True,
+                               seed=seed + epoch)):
             rng, k = jax.random.split(rng)
             n_edges = int(np.asarray(g.edge_mask).sum()
                           + np.asarray(sub.edge_mask).sum())
@@ -155,8 +160,9 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
     for epoch in range(epochs):
         total, nb = 0.0, 0
         pending = []
-        for g, sub in batch_iterator(train_ds, batch_size, caps,
-                                     shuffle=True, seed=seed + epoch):
+        for g, sub in prefetch_to_device(
+                batch_iterator(train_ds, batch_size, caps,
+                               shuffle=True, seed=seed + epoch)):
             if accum > 1:
                 # stack `accum` batches on a leading axis for one
                 # accumulated update (train_pep_func.py:165-173); a
@@ -215,8 +221,9 @@ def run_domain_adaptation(step_fn: Callable, state: TrainState,
     bad = 0
     for epoch in range(epochs):
         total, nb = 0.0, 0
-        for g, sub in batch_iterator(ds, batch_size, caps, shuffle=True,
-                                     seed=seed + epoch):
+        for g, sub in prefetch_to_device(
+                batch_iterator(ds, batch_size, caps, shuffle=True,
+                               seed=seed + epoch)):
             rng, k = jax.random.split(rng)
             state, loss = step_fn(state, g, sub, k)
             total += float(loss)

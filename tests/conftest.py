@@ -32,3 +32,8 @@ assert jax.device_count() >= 8, "expected 8 virtual CPU devices"
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers",
+                            "slow: long-running system-level test")
