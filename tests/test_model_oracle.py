@@ -22,10 +22,10 @@ FEAT = 5
 
 
 def build_batch(n_graphs=3, node_cap=64, edge_cap=256, sub_node_cap=256,
-                sub_edge_cap=1024, seed=3):
+                sub_edge_cap=1024, seed=3, k=1, feat_dim=None):
     graphs = random_dataset(n_graphs, seed=seed, min_nodes=5, max_nodes=9,
-                            feat_dim=FEAT)
-    egos = [extract_egonets(g, 1) for g in graphs]
+                            feat_dim=feat_dim or FEAT)
+    egos = [extract_egonets(g, k) for g in graphs]
     g = pack_graphs(graphs, node_cap, edge_cap, max(4, n_graphs))
     sub = pack_subgraphs(graphs, egos, sub_node_cap, sub_edge_cap)
     return graphs, egos, g, sub
@@ -95,7 +95,8 @@ class Oracle:
     def gin(self, p, x, senders, receivers):
         h = x
         n = x.shape[0]
-        for i in range(4):
+        n_convs = sum(1 for k in p if k.startswith("conv"))
+        for i in range(n_convs):
             agg = np.zeros_like(h)
             np.add.at(agg, receivers, h[senders])
             h = self.mlp2(p[f"conv{i}"], h + agg)
@@ -291,3 +292,62 @@ def test_noise_modes_differ(setup):
                         rngs={"noise": jax.random.PRNGKey(11)})
     assert float(l1.kl) != float(l2.kl)
     assert np.isfinite(float(l1.total)) and np.isfinite(float(l2.total))
+
+
+def test_k2_egonets_match_oracle():
+    """k=2 ego-nets: restricted message passing over 2-hop neighborhoods
+    must match the per-graph-loop oracle (the k>1 'hard part' of
+    SURVEY.md §7.3)."""
+    graphs, egos, g, sub = build_batch(k=2, sub_node_cap=512,
+                                       sub_edge_cap=4096, seed=5)
+    model = PretrainModel(in_dim=FEAT, hidden=HID, d_transfer=DT,
+                          deterministic=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g, sub, train=True)
+    losses, _ = model.apply(variables, g, sub, train=True,
+                            mutable=["batch_stats"],
+                            rngs={"noise": jax.random.PRNGKey(2)})
+    oracle = Oracle(variables, graphs, egos).run("corrected")
+    np.testing.assert_allclose(float(losses.kl), oracle["kl"],
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(losses.contrastive),
+                               oracle["contrastive"], rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(losses.reconstruction),
+                               oracle["recon"], rtol=2e-3, atol=1e-4)
+
+
+def test_reference_weights_activation_parity():
+    """Golden activation parity with the SHIPPED reference artifact: run
+    the imported (trained) weights through our vectorized model and
+    through the per-graph-loop NumPy oracle (the reference's math) — the
+    losses must agree.  This is the closest possible check to running the
+    reference itself (DGL is unavailable here)."""
+    import os
+
+    ref_cp = "/root/reference/outputs/pre_training_v1_GIN_64_5_1.pt"
+    if not os.path.exists(ref_cp):
+        pytest.skip("reference artifact not present")
+    from scgib_tpu.utils.reference_import import (
+        convert_to_pretrain_variables, load_reference_state)
+
+    flat = load_reference_state(ref_cp)
+    variables, meta = convert_to_pretrain_variables(flat)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    graphs, egos, g, sub = build_batch(seed=11, feat_dim=9)
+    model = PretrainModel(in_dim=9, hidden=64, d_transfer=32,
+                          num_layers=meta["num_convs"],
+                          deterministic=True)
+    losses, _ = model.apply(variables, g, sub, train=True,
+                            mutable=["batch_stats"],
+                            rngs={"noise": jax.random.PRNGKey(2)})
+    oracle = Oracle(variables, graphs, egos).run("corrected")
+    np.testing.assert_allclose(float(losses.kl), oracle["kl"],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(losses.contrastive),
+                               oracle["contrastive"], rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(losses.reconstruction),
+                               oracle["recon"], rtol=5e-3, atol=1e-3)
