@@ -40,11 +40,17 @@ def _build_dataset(args, num_tasks=None, feat_dim=9):
 
     if args.cache and os.path.exists(args.cache):
         return load_dataset(args.cache)
+    if getattr(args, "tudataset_root", None):
+        from .data.tudataset import load_tudataset
+
+        graphs = load_tudataset(args.tudataset_root, args.dataset)
+        return GraphDataset(graphs, k=args.k)
     if args.synthetic:
         graphs = random_dataset(args.synthetic, seed=args.seed,
                                 feat_dim=feat_dim, num_tasks=num_tasks)
         return GraphDataset(graphs, k=args.k)
-    raise SystemExit("no data: pass --cache <npz> or --synthetic N")
+    raise SystemExit("no data: pass --cache <npz>, --tudataset_root DIR "
+                     "or --synthetic N")
 
 
 def cmd_preprocess(args):
@@ -381,6 +387,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("finetune", help="supervised fine-tuning")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)
     sp.add_argument("--dataset", required=True)
+    sp.add_argument("--tudataset_root", default=None,
+                    help="directory holding raw TUDataset text files")
     sp.add_argument("--freeze_mode", default="reference",
                     choices=["reference", "paper", "all", "frozen"])
     sp.set_defaults(fn=cmd_finetune)

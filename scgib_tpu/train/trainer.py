@@ -70,9 +70,15 @@ class TrainState:
 
 
 def make_pretrain_step(model, tx: optax.GradientTransformation,
-                       donate: bool = True) -> Callable:
+                       donate: bool = True,
+                       remat: bool = False) -> Callable:
     """Jitted self-supervised step: total = KL + contrastive + recon
-    (exp_pretraining.py:321) -> grads -> Adam update."""
+    (exp_pretraining.py:321) -> grads -> Adam update.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the
+    backward recomputes activations instead of storing them — trades
+    ~1/3 more FLOPs for O(layers) less HBM, for big-graph batches
+    (peptides k>=3) that would otherwise not fit."""
 
     def loss_fn(params, batch_stats, g, sub, rng):
         losses, mutated = model.apply(
@@ -80,6 +86,9 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
             g, sub, train=True, mutable=["batch_stats"],
             rngs={"noise": rng})
         return losses.total, (losses, mutated["batch_stats"])
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
              rng) -> Tuple[TrainState, Any]:

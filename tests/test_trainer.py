@@ -155,3 +155,22 @@ def test_freeze_mask_modes():
     # all: everything
     assert ref < paper < full
     assert frozen < ref
+
+
+def test_pretrain_step_remat(pretrain_setup):
+    """jax.checkpoint-wrapped step matches the plain step's loss."""
+    g, sub, model, variables = pretrain_setup
+    tx = adam_l2(1e-3)
+    plain = make_pretrain_step(model, tx, donate=False)
+    remat = make_pretrain_step(model, tx, donate=False, remat=True)
+    s1 = TrainState.create(variables, tx)
+    s2 = TrainState.create(variables, tx)
+    k = jax.random.PRNGKey(7)
+    s1, l1 = plain(s1, g, sub, k)
+    s2, l2 = remat(s2, g, sub, k)
+    np.testing.assert_allclose(float(l2.total), float(l1.total),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
