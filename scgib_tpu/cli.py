@@ -45,12 +45,36 @@ def _build_dataset(args, num_tasks=None, feat_dim=9):
 
         graphs = load_tudataset(args.tudataset_root, args.dataset)
         return GraphDataset(graphs, k=args.k)
+    if getattr(args, "molnet_root", None):
+        from .data.molnet import load_moleculenet
+
+        graphs, skipped = load_moleculenet(
+            args.molnet_root, args.dataset, limit=args.limit or None)
+        if skipped:
+            print(f"skipped {len(skipped)} unparseable SMILES "
+                  f"(reference behavior: exp_*BACE_BBBP.py:308-323)")
+        return GraphDataset(graphs, k=args.k)
+    if getattr(args, "ogb_raw", None):
+        from .data.molnet import load_ogb_graphs
+
+        graphs = load_ogb_graphs(args.ogb_raw, limit=args.limit or None)
+        return GraphDataset(graphs, k=args.k)
+    if getattr(args, "smiles_csv", None):
+        from .data.molnet import load_smiles_csv
+
+        graphs, skipped = load_smiles_csv(
+            args.smiles_csv, label_cols=slice(1, None),
+            limit=args.limit or None)
+        if skipped:
+            print(f"skipped {len(skipped)} unparseable SMILES")
+        return GraphDataset(graphs, k=args.k)
     if args.synthetic:
         graphs = random_dataset(args.synthetic, seed=args.seed,
                                 feat_dim=feat_dim, num_tasks=num_tasks)
         return GraphDataset(graphs, k=args.k)
-    raise SystemExit("no data: pass --cache <npz>, --tudataset_root DIR "
-                     "or --synthetic N")
+    raise SystemExit("no data: pass --cache <npz>, --molnet_root DIR, "
+                     "--ogb_raw DIR, --smiles_csv FILE, "
+                     "--tudataset_root DIR or --synthetic N")
 
 
 def cmd_preprocess(args):
@@ -343,6 +367,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help=".npz dataset cache (data/cache.py format)")
         sp.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic molecules instead")
+        sp.add_argument("--molnet_root", default=None,
+                        help="MoleculeNet root dir with raw CSVs "
+                             "(data/molnet.py)")
+        sp.add_argument("--ogb_raw", default=None,
+                        help="OGB graph-prop raw/ dir (flat CSV layout)")
+        sp.add_argument("--smiles_csv", default=None,
+                        help="generic SMILES+labels CSV")
+        sp.add_argument("--limit", type=int, default=0,
+                        help="cap graphs loaded (reference caps PCQM4Mv2/"
+                             "QM9 at 100k, exp_pcqm4mv2.py:394)")
         sp.add_argument("--k", type=int, default=1,
                         help="k-hop ego-net radius (--k_transition)")
         sp.add_argument("--batch_size", type=int, default=128)
@@ -367,6 +401,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("preprocess", help="build packed dataset cache")
     sp.add_argument("--cache", default=None)
     sp.add_argument("--synthetic", type=int, default=0)
+    sp.add_argument("--dataset", default=None,
+                    help="dataset name for --molnet_root/--tudataset_root")
+    sp.add_argument("--molnet_root", default=None)
+    sp.add_argument("--ogb_raw", default=None)
+    sp.add_argument("--smiles_csv", default=None)
+    sp.add_argument("--tudataset_root", default=None)
+    sp.add_argument("--limit", type=int, default=0)
     sp.add_argument("--k", type=int, default=1)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--out", required=True)

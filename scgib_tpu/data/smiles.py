@@ -1,0 +1,528 @@
+"""Pure-Python SMILES -> molecular graph parser and atom featurizer.
+
+The reference never parses SMILES itself -- it delegates to RDKit through
+PyG's ``MoleculeNet`` / OGB's ``smiles2graph`` (datasets downloaded at
+``exp_moleculenetBACE_BBBP.py:219-224``, ``exp_pcqm4mv2.py:260-268``) and
+then keeps only ``edge_index`` + the 9-dim categorical atom feature matrix
+(``util.load_dgl_fromPyG``, util.py:277-325).  RDKit is a C++ dependency
+that is not TPU-relevant and not available here, so this module implements
+the subset of chemistry the feature scheme actually needs:
+
+  * a full SMILES reader (organic subset, bracket atoms, charges, isotopes,
+    chirality marks, ring closures incl. ``%nn``, branches, ``.`` parts,
+    bond orders ``- = # $ : / \\`` and aromatic lowercase notation),
+  * implicit-hydrogen assignment per the Daylight valence model,
+  * ring-membership perception (bridge detection), and
+  * the OGB (``ogb.utils.features.atom_to_feature_vector``) and PyG
+    (``torch_geometric.utils.smiles.x_map``) categorical feature vectors.
+
+Approximations vs RDKit, documented and acceptable for this model family
+(features feed ``F.normalize`` + a learned projection, models.py:558-559):
+
+  * hybridization is derived structurally (aromatic/double -> SP2, triple
+    or cumulated double -> SP, hypervalent -> SP3D/SP3D2, else SP3) rather
+    than from RDKit's conjugation analysis -- amide/aniline nitrogens that
+    RDKit calls SP2 via conjugation come out SP3;
+  * aromaticity is taken from the SMILES notation (lowercase atoms), not
+    re-perceived: already-kekulized inputs keep their single/double bonds;
+  * stereo bonds (``/ \\``) are parsed but not assigned to features.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# periodic table (symbol -> atomic number), all 118 elements
+# ---------------------------------------------------------------------------
+
+_ELEMENTS = (
+    "H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe "
+    "Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In "
+    "Sn Sb Te I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf "
+    "Ta W Re Os Ir Pt Au Hg Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U Np Pu Am "
+    "Cm Bk Cf Es Fm Md No Lr Rf Db Sg Bh Hs Mt Ds Rg Cn Nh Fl Mc Lv Ts Og"
+).split()
+ATOMIC_NUM: Dict[str, int] = {s: i + 1 for i, s in enumerate(_ELEMENTS)}
+
+# Daylight "normal valence" lists for the organic subset (implicit H rule)
+_DEFAULT_VALENCES: Dict[str, Tuple[int, ...]] = {
+    "B": (3,), "C": (4,), "N": (3, 5), "O": (2,), "P": (3, 5),
+    "S": (2, 4, 6), "F": (1,), "Cl": (1,), "Br": (1,), "I": (1,),
+}
+
+# group number (13..17) for charge-adjusted valence of bracket atoms
+_GROUP = {"B": 13, "Al": 13, "Ga": 13, "In": 13, "Tl": 13,
+          "C": 14, "Si": 14, "Ge": 14, "Sn": 14, "Pb": 14,
+          "N": 15, "P": 15, "As": 15, "Sb": 15, "Bi": 15,
+          "O": 16, "S": 16, "Se": 16, "Te": 16, "Po": 16,
+          "F": 17, "Cl": 17, "Br": 17, "I": 17, "At": 17}
+
+_ORGANIC_SUBSET = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}
+_AROMATIC_ORGANIC = {"b", "c", "n", "o", "p", "s"}
+# aromatic symbols legal inside brackets
+_AROMATIC_BRACKET = _AROMATIC_ORGANIC | {"se", "as", "te", "si"}
+
+_BOND_ORDERS = {"-": 1.0, "=": 2.0, "#": 3.0, "$": 4.0, ":": 1.5,
+                "/": 1.0, "\\": 1.0}
+
+_BRACKET_RE = re.compile(
+    r"\[(?P<isotope>\d+)?"
+    r"(?P<symbol>[A-Z][a-z]?|[a-z]{1,2}|\*)"
+    r"(?P<chiral>@@|@(?:TH[12]|AL[12]|SP[123]|TB\d{1,2}|OH\d{1,2})?)?"
+    r"(?P<hcount>H\d*)?"
+    r"(?P<charge>\+{1,3}|-{1,3}|\+\d+|-\d+)?"
+    r"(?::(?P<map>\d+))?\]")
+
+
+class SmilesError(ValueError):
+    """Raised on malformed SMILES input."""
+
+
+@dataclasses.dataclass
+class Atom:
+    symbol: str                 # canonical element symbol, e.g. "Cl"
+    aromatic: bool = False
+    charge: int = 0
+    explicit_h: Optional[int] = None    # None => use implicit-H rule
+    isotope: int = 0
+    chirality: str = "CHI_UNSPECIFIED"  # RDKit tag names
+    in_ring: bool = False
+    # filled by finalize():
+    num_h: int = 0
+    degree_total: int = 0       # heavy neighbors + hydrogens (GetTotalDegree)
+    degree_heavy: int = 0
+    radical: int = 0
+    hybridization: str = "SP3"
+
+
+@dataclasses.dataclass
+class Bond:
+    a: int
+    b: int
+    order: float                # 1, 2, 3, 4, or 1.5 (aromatic)
+    in_ring: bool = False
+
+    @property
+    def aromatic(self) -> bool:
+        return self.order == 1.5
+
+
+@dataclasses.dataclass
+class Molecule:
+    atoms: List[Atom]
+    bonds: List[Bond]
+
+    @property
+    def num_atoms(self) -> int:
+        return len(self.atoms)
+
+    def formula(self) -> Dict[str, int]:
+        """Element -> count including implicit/explicit hydrogens (for
+        golden tests against known molecular formulas)."""
+        counts: Dict[str, int] = {}
+        for a in self.atoms:
+            counts[a.symbol] = counts.get(a.symbol, 0) + 1
+            if a.num_h:
+                counts["H"] = counts.get("H", 0) + a.num_h
+        return counts
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def _parse_bracket(tok: "re.Match") -> Atom:
+    sym = tok.group("symbol")
+    aromatic = False
+    if sym == "*":
+        canonical = "*"
+    elif sym[0].islower():
+        if sym not in _AROMATIC_BRACKET:
+            raise SmilesError(f"unknown aromatic symbol [{sym}]")
+        canonical = sym.capitalize()
+        aromatic = True
+    else:
+        canonical = sym
+        if canonical not in ATOMIC_NUM:
+            raise SmilesError(f"unknown element [{sym}]")
+
+    h = tok.group("hcount")
+    if h is None:
+        hcount = 0
+    elif h == "H":
+        hcount = 1
+    else:
+        hcount = int(h[1:])
+
+    c = tok.group("charge")
+    if c is None:
+        charge = 0
+    elif c[0] == "+":
+        charge = int(c[1:]) if c[1:].isdigit() else len(c)
+    else:
+        charge = -(int(c[1:]) if c[1:].isdigit() else len(c))
+
+    ch = tok.group("chiral")
+    if ch is None:
+        chirality = "CHI_UNSPECIFIED"
+    elif ch == "@@" or ch == "@TH2":
+        chirality = "CHI_TETRAHEDRAL_CW"
+    elif ch == "@" or ch == "@TH1":
+        chirality = "CHI_TETRAHEDRAL_CCW"
+    else:
+        chirality = "CHI_OTHER"
+
+    iso = tok.group("isotope")
+    return Atom(symbol=canonical, aromatic=aromatic, charge=charge,
+                explicit_h=hcount, isotope=int(iso) if iso else 0,
+                chirality=chirality)
+
+
+def parse_smiles(smiles: str) -> Molecule:
+    """Parse one SMILES string into a :class:`Molecule` (all chemistry
+    perception applied)."""
+    atoms: List[Atom] = []
+    bonds: List[Bond] = []
+    prev: Optional[int] = None
+    stack: List[Optional[int]] = []
+    pending_bond: Optional[str] = None
+    # ring number -> (atom index, bond symbol or None)
+    rings: Dict[int, Tuple[int, Optional[str]]] = {}
+
+    def add_bond(a: int, b: int, sym: Optional[str]) -> None:
+        if sym is None or sym in "/\\":
+            if atoms[a].aromatic and atoms[b].aromatic:
+                order = 1.5
+            else:
+                order = 1.0
+        else:
+            order = _BOND_ORDERS[sym]
+        bonds.append(Bond(a=a, b=b, order=order))
+
+    def add_atom(atom: Atom) -> None:
+        nonlocal prev, pending_bond
+        atoms.append(atom)
+        idx = len(atoms) - 1
+        if prev is not None:
+            add_bond(prev, idx, pending_bond)
+        prev = idx
+        pending_bond = None
+
+    i, n = 0, len(smiles)
+    while i < n:
+        ch = smiles[i]
+        if ch == "[":
+            m = _BRACKET_RE.match(smiles, i)
+            if not m:
+                raise SmilesError(f"bad bracket atom at {i}: {smiles[i:i+12]}")
+            add_atom(_parse_bracket(m))
+            i = m.end()
+        elif ch == "(":
+            if prev is None:
+                raise SmilesError("branch before any atom")
+            stack.append(prev)
+            i += 1
+        elif ch == ")":
+            if not stack:
+                raise SmilesError("unbalanced ')'")
+            prev = stack.pop()
+            i += 1
+        elif ch in _BOND_ORDERS:
+            pending_bond = ch
+            i += 1
+        elif ch == ".":
+            prev = None
+            pending_bond = None
+            i += 1
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                num = int(smiles[i + 1:i + 3])
+                i += 3
+            else:
+                num = int(ch)
+                i += 1
+            if prev is None:
+                raise SmilesError("ring closure before any atom")
+            if num in rings:
+                other, sym0 = rings.pop(num)
+                sym = pending_bond or sym0
+                if other == prev:
+                    raise SmilesError(f"self ring bond {num}")
+                add_bond(other, prev, sym)
+            else:
+                rings[num] = (prev, pending_bond)
+            pending_bond = None
+        elif ch.isupper():
+            two = smiles[i:i + 2]
+            if two in ("Cl", "Br"):
+                sym = two
+                i += 2
+            else:
+                sym = ch
+                i += 1
+            if sym not in _ORGANIC_SUBSET:
+                raise SmilesError(
+                    f"element {sym} must be bracketed outside organic subset")
+            add_atom(Atom(symbol=sym))
+        elif ch in _AROMATIC_ORGANIC:
+            add_atom(Atom(symbol=ch.upper(), aromatic=True))
+            i += 1
+        elif ch in " \t":
+            break   # trailing title/whitespace per Daylight convention
+        else:
+            raise SmilesError(f"unexpected character {ch!r} at {i}")
+
+    if rings:
+        raise SmilesError(f"unclosed ring bond(s): {sorted(rings)}")
+    if stack:
+        raise SmilesError("unclosed branch '('")
+
+    mol = Molecule(atoms=atoms, bonds=bonds)
+    _finalize(mol)
+    return mol
+
+
+# ---------------------------------------------------------------------------
+# perception: implicit H, rings, radicals, hybridization
+# ---------------------------------------------------------------------------
+
+def _charge_adjusted_valences(symbol: str,
+                              charge: int) -> Tuple[int, ...]:
+    base = _DEFAULT_VALENCES.get(symbol)
+    if base is None or charge == 0:
+        return base or ()
+    group = _GROUP.get(symbol, 0)
+    if group >= 15 or group == 13:
+        # N+ -> 4, O- -> 1, B- -> 4 ...
+        delta = charge if group >= 15 else -charge
+    else:   # group 14: both cation and anion lose a bond (CH3+, CH3-)
+        delta = -abs(charge)
+    return tuple(max(v + delta, 0) for v in base)
+
+
+def _mark_rings(mol: Molecule) -> None:
+    """An atom/bond is 'in ring' iff the bond is not a bridge of the
+    molecular graph (Tarjan bridge finding, iterative)."""
+    n = mol.num_atoms
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for bi, b in enumerate(mol.bonds):
+        adj[b.a].append((b.b, bi))
+        adj[b.b].append((b.a, bi))
+
+    disc = [-1] * n
+    low = [0] * n
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # (node, parent_bond, neighbor iterator index)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            v, pbond, it = stack[-1]
+            if it < len(adj[v]):
+                stack[-1] = (v, pbond, it + 1)
+                u, bi = adj[v][it]
+                if bi == pbond:
+                    continue
+                if disc[u] == -1:
+                    disc[u] = low[u] = timer
+                    timer += 1
+                    stack.append((u, bi, 0))
+                else:
+                    # non-tree edge of an undirected DFS => lies on a cycle
+                    mol.bonds[bi].in_ring = True
+                    low[v] = min(low[v], disc[u])
+            else:
+                stack.pop()
+                if stack:
+                    p = stack[-1][0]
+                    low[p] = min(low[p], low[v])
+                    if low[v] <= disc[p]:
+                        mol.bonds[pbond].in_ring = True
+
+    for b in mol.bonds:
+        if b.in_ring:
+            mol.atoms[b.a].in_ring = True
+            mol.atoms[b.b].in_ring = True
+
+
+def _finalize(mol: Molecule) -> None:
+    order_sum = [0.0] * mol.num_atoms
+    heavy_deg = [0] * mol.num_atoms
+    n_double = [0] * mol.num_atoms
+    n_triple = [0] * mol.num_atoms
+    for b in mol.bonds:
+        for x in (b.a, b.b):
+            order_sum[x] += b.order
+            heavy_deg[x] += 1
+        if b.order == 2.0:
+            n_double[b.a] += 1
+            n_double[b.b] += 1
+        elif b.order >= 3.0:
+            n_triple[b.a] += 1
+            n_triple[b.b] += 1
+
+    _mark_rings(mol)
+
+    for i, a in enumerate(mol.atoms):
+        # Daylight aromatic bonds contribute 1.5; floor the sum so a plain
+        # aromatic carbon (2 x 1.5 = 3.0) gets 1 H while a fusion carbon
+        # (3 x 1.5 = 4.5 -> 4) gets 0.
+        bond_sum = int(np.floor(order_sum[i] + 1e-6))
+        if a.explicit_h is not None:
+            a.num_h = a.explicit_h
+            valences = _charge_adjusted_valences(a.symbol, a.charge)
+            used = bond_sum + a.num_h
+            a.radical = 0
+            for v in valences:
+                if used <= v:
+                    a.radical = v - used
+                    break
+            # electron-pair parity: a gap of 2 is a lone pair, not 2
+            # radicals ([CH2] -> carbene: RDKit reports 2, keep that)
+        elif a.symbol in _DEFAULT_VALENCES and not a.charge:
+            a.num_h = 0
+            valences = _DEFAULT_VALENCES[a.symbol]
+            if a.aromatic:
+                # aromatic atoms fill only to the LOWEST normal valence
+                # (lowercase n with 3 neighbors gets 0 H, not 5-4=1)
+                valences = valences[:1]
+            for v in valences:
+                if bond_sum <= v:
+                    a.num_h = v - bond_sum
+                    break
+            a.radical = 0
+        else:
+            a.num_h = 0
+            a.radical = 0
+
+        a.degree_heavy = heavy_deg[i]
+        a.degree_total = heavy_deg[i] + a.num_h
+
+        # structural hybridization (see module docstring for caveats)
+        if a.degree_total == 0:
+            a.hybridization = "S"
+        elif a.degree_total > 5 or order_sum[i] > 5.5:
+            a.hybridization = "SP3D2"
+        elif a.degree_total > 4 or order_sum[i] > 4.5:
+            a.hybridization = "SP3D"
+        elif n_triple[i] or n_double[i] >= 2:
+            a.hybridization = "SP"
+        elif a.aromatic or n_double[i]:
+            a.hybridization = "SP2"
+        else:
+            a.hybridization = "SP3"
+
+
+# ---------------------------------------------------------------------------
+# feature vectors
+# ---------------------------------------------------------------------------
+
+def _safe_index(lst: Sequence, value) -> int:
+    try:
+        return lst.index(value)
+    except ValueError:
+        return len(lst) - 1
+
+# OGB scheme: ogb.utils.features.allowable_features (reference consumes the
+# resulting 9-dim x for PCQM4Mv2/mol-PCBA/molhiv, exp_pcqm4mv2.py:260-268)
+_OGB_CHIRALITY = ["CHI_UNSPECIFIED", "CHI_TETRAHEDRAL_CW",
+                  "CHI_TETRAHEDRAL_CCW", "CHI_OTHER", "misc"]
+_OGB_DEGREE = list(range(11)) + ["misc"]
+_OGB_CHARGE = list(range(-5, 6)) + ["misc"]
+_OGB_NUMH = list(range(9)) + ["misc"]
+_OGB_RADICAL = list(range(5)) + ["misc"]
+_OGB_HYB = ["SP", "SP2", "SP3", "SP3D", "SP3D2", "misc"]
+
+# PyG scheme: torch_geometric.utils.smiles.x_map (MoleculeNet/QM-style
+# datasets the reference loads through PyG, exp_moleculenetBACE_BBBP.py:219)
+_PYG_CHIRALITY = ["CHI_UNSPECIFIED", "CHI_TETRAHEDRAL_CW",
+                  "CHI_TETRAHEDRAL_CCW", "CHI_OTHER",
+                  "CHI_TETRAHEDRAL", "CHI_ALLENE", "CHI_SQUAREPLANAR",
+                  "CHI_TRIGONALBIPYRAMIDAL", "CHI_OCTAHEDRAL"]
+_PYG_HYB = ["UNSPECIFIED", "S", "SP", "SP2", "SP3", "SP3D", "SP3D2",
+            "OTHER"]
+
+
+def atom_features_ogb(a: Atom) -> List[int]:
+    """9-dim categorical vector per ``ogb.utils.features
+    .atom_to_feature_vector`` (indices into the allowable lists)."""
+    z = ATOMIC_NUM.get(a.symbol, 119)
+    return [
+        min(z, 119) - 1,                                  # atomic num 1..118
+        _safe_index(_OGB_CHIRALITY, a.chirality),
+        _safe_index(_OGB_DEGREE, a.degree_total),
+        _safe_index(_OGB_CHARGE, a.charge),
+        _safe_index(_OGB_NUMH, a.num_h),
+        _safe_index(_OGB_RADICAL, a.radical),
+        _safe_index(_OGB_HYB, a.hybridization),
+        int(a.aromatic),
+        int(a.in_ring),
+    ]
+
+
+def atom_features_pyg(a: Atom) -> List[int]:
+    """9-dim categorical vector per PyG's ``x_map`` (raw values for
+    atomic_num/degree/charge/numH, list indices for the rest)."""
+    z = ATOMIC_NUM.get(a.symbol, 0)
+    return [
+        min(z, 118),
+        _safe_index(_PYG_CHIRALITY, a.chirality),
+        min(a.degree_total, 10),
+        a.charge + 5 if -5 <= a.charge <= 6 else 11,
+        min(a.num_h, 8),
+        min(a.radical, 4),
+        _safe_index(_PYG_HYB, a.hybridization
+                    if a.hybridization != "S" else "S"),
+        int(a.aromatic),
+        int(a.in_ring),
+    ]
+
+
+_OGB_BOND_TYPE = {1.0: 0, 2.0: 1, 3.0: 2, 1.5: 3}
+
+
+def bond_features_ogb(b: Bond, conjugated: bool = False) -> List[int]:
+    """3-dim vector per ``ogb.utils.features.bond_to_feature_vector``:
+    [type(S/D/T/A/misc), stereo (STEREONONE=0 -- stereo marks are parsed
+    but not assigned, module docstring), conjugated]."""
+    return [_OGB_BOND_TYPE.get(b.order, 4), 0, int(conjugated or b.aromatic)]
+
+
+def featurize(mol: Molecule, scheme: str = "ogb"
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Molecule -> (node_feat [n,9] float32, senders, receivers) with
+    directed edges both ways (the reference symmetrizes via
+    ``dgl.to_bidirected``, util.py:318)."""
+    fn = atom_features_ogb if scheme == "ogb" else atom_features_pyg
+    x = np.asarray([fn(a) for a in mol.atoms], dtype=np.float32)
+    if x.size == 0:
+        x = np.zeros((0, 9), np.float32)
+    if mol.bonds:
+        s = np.asarray([b.a for b in mol.bonds] +
+                       [b.b for b in mol.bonds], np.int32)
+        r = np.asarray([b.b for b in mol.bonds] +
+                       [b.a for b in mol.bonds], np.int32)
+    else:
+        s = np.zeros(0, np.int32)
+        r = np.zeros(0, np.int32)
+    return x, s, r
+
+
+def smiles_to_graph(smiles: str, scheme: str = "ogb",
+                    label: Optional[np.ndarray] = None):
+    """One-call SMILES -> :class:`~scgib_tpu.graph.batching.GraphData`."""
+    from ..graph.batching import GraphData, symmetrize_edges
+
+    mol = parse_smiles(smiles)
+    x, s, r = featurize(mol, scheme=scheme)
+    if len(s):
+        s, r = symmetrize_edges(s, r)
+    return GraphData(senders=s, receivers=r, node_feat=x, label=label)
