@@ -59,6 +59,31 @@ def _build_dataset(args, num_tasks=None, feat_dim=9):
 
         graphs = load_ogb_graphs(args.ogb_raw, limit=args.limit or None)
         return GraphDataset(graphs, k=args.k)
+    if getattr(args, "qm9_root", None):
+        from .data.sdf import load_qm9
+
+        graphs, skipped = load_qm9(args.qm9_root, limit=args.limit or None)
+        if skipped:
+            print(f"skipped {skipped} malformed SDF records")
+        return GraphDataset(graphs, k=args.k)
+    if getattr(args, "pcqm4mv2_root", None):
+        from .data.molnet import load_pcqm4mv2
+
+        graphs, skipped = load_pcqm4mv2(args.pcqm4mv2_root,
+                                        limit=args.limit or None)
+        if skipped:
+            print(f"skipped {len(skipped)} unparseable SMILES")
+        return GraphDataset(graphs, k=args.k)
+    if getattr(args, "peptides_root", None):
+        from .data.molnet import load_peptides
+
+        which = "struct" if "struct" in (args.dataset or "").lower() \
+            else "func"
+        graphs, skipped = load_peptides(args.peptides_root, which=which,
+                                        limit=args.limit or None)
+        if skipped:
+            print(f"skipped {len(skipped)} unparseable SMILES")
+        return GraphDataset(graphs, k=args.k)
     if getattr(args, "smiles_csv", None):
         from .data.molnet import load_smiles_csv
 
@@ -374,6 +399,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="OGB graph-prop raw/ dir (flat CSV layout)")
         sp.add_argument("--smiles_csv", default=None,
                         help="generic SMILES+labels CSV")
+        sp.add_argument("--qm9_root", default=None,
+                        help="dir holding gdb9.sdf (+ gdb9.sdf.csv)")
+        sp.add_argument("--pcqm4mv2_root", default=None,
+                        help="dir holding PCQM4Mv2 raw/data.csv.gz")
+        sp.add_argument("--peptides_root", default=None,
+                        help="dir holding the LRGB peptides tables")
         sp.add_argument("--limit", type=int, default=0,
                         help="cap graphs loaded (reference caps PCQM4Mv2/"
                              "QM9 at 100k, exp_pcqm4mv2.py:394)")
@@ -406,6 +437,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--molnet_root", default=None)
     sp.add_argument("--ogb_raw", default=None)
     sp.add_argument("--smiles_csv", default=None)
+    sp.add_argument("--qm9_root", default=None)
+    sp.add_argument("--pcqm4mv2_root", default=None)
+    sp.add_argument("--peptides_root", default=None)
     sp.add_argument("--tudataset_root", default=None)
     sp.add_argument("--limit", type=int, default=0)
     sp.add_argument("--k", type=int, default=1)
