@@ -54,7 +54,11 @@ def main():
     graphs = random_dataset(BATCH_GRAPHS, seed=0, min_nodes=10, max_nodes=30,
                             feat_dim=FEAT)
     egos = [extract_egonets(g, 1) for g in graphs]
-    banded = os.environ.get("BENCH_BANDED", "1") == "1"
+    # 'device' (default): COO upload + on-device block scatter;
+    # 'host'/'1': host-built blocks (large upload, amortized here since the
+    # bench reuses one device-resident batch); '0': COO segment path only
+    banded = {"0": False, "host": True, "1": True}.get(
+        os.environ.get("BENCH_BANDED", "device"), "device")
     g = pack_graphs(graphs, NODE_CAP, EDGE_CAP, BATCH_GRAPHS,
                     banded=banded)
     coo_sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP,

@@ -54,6 +54,59 @@ def fits_band(senders: np.ndarray, receivers: np.ndarray,
     return bool(np.all((senders >= lo) & (senders < lo + band)))
 
 
+def banded_col_off(num_nodes: int, tile: int = 128, band: int = 256,
+                   align: int = 64) -> np.ndarray:
+    """The [T] window offsets — a pure function of the node capacity, so
+    the host can ship this tiny array and build the blocks on device."""
+    n_tiles = num_nodes // tile
+    all_t0 = np.arange(n_tiles, dtype=np.int64) * tile
+    all_lo = np.maximum(all_t0 + tile // 2 - band // 2, 0)
+    col_off = (all_lo // align) * align
+    return np.minimum(col_off, max(num_nodes - band, 0)).astype(np.int32)
+
+
+def fits_band_masked(senders: np.ndarray, receivers: np.ndarray,
+                     edge_mask: Optional[np.ndarray], num_nodes: int,
+                     tile: int = 128, band: int = 256,
+                     align: int = 64) -> bool:
+    """Host-side feasibility check against the *clamped* windows (the ones
+    ``banded_col_off`` produces), ignoring masked padding edges."""
+    if num_nodes % tile != 0 or num_nodes < band:
+        return False
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    if edge_mask is not None:
+        keep = np.asarray(edge_mask, bool)
+        s, r = s[keep], r[keep]
+    if not len(s):
+        return True
+    off = banded_col_off(num_nodes, tile, band, align)
+    col = s - off[r // tile]
+    return bool((col.min() >= 0) and (col.max() < band))
+
+
+def build_blocks_jax(senders, receivers, edge_mask, col_off,
+                     num_nodes: int, tile: int = 128, band: int = 256):
+    """Device-side banded block construction from the COO edge list.
+
+    Shipping the dense [T, tile, band] blocks from the host costs ~20 MB
+    per batch over the host link; the COO lists are ~100 KB.  This builds
+    the identical blocks under ``jit`` with one XLA scatter-add (masked
+    padding edges contribute weight 0; any out-of-window index is dropped
+    by scatter semantics, and the host packer only selects this mode after
+    ``fits_band_masked``)."""
+    import jax.numpy as jnp
+
+    n_tiles = num_nodes // tile
+    t_idx = receivers // tile
+    row = receivers - t_idx * tile
+    col = senders - col_off[t_idx]
+    w = edge_mask.astype(jnp.float32) if edge_mask is not None else \
+        jnp.ones(senders.shape, jnp.float32)
+    blocks = jnp.zeros((n_tiles, tile, band), jnp.float32)
+    return blocks.at[t_idx, row, col].add(w, mode="drop")
+
+
 def pack_banded(senders: np.ndarray, receivers: np.ndarray,
                 edge_mask: Optional[np.ndarray], num_nodes: int,
                 tile: int = 128, band: int = 256,
@@ -72,32 +125,25 @@ def pack_banded(senders: np.ndarray, receivers: np.ndarray,
         senders = np.asarray(senders)[keep]
         receivers = np.asarray(receivers)[keep]
 
-    t_idx = receivers // tile
-    t0 = t_idx * tile
-    lo = np.maximum(t0 + tile // 2 - band // 2, 0)
-    lo = (lo // align) * align
-    col = senders - lo
-    if len(col) and (col.min() < 0 or col.max() >= band):
-        raise ValueError(
-            "edge escapes band window; increase band or use the COO path")
-
-    blocks = np.zeros((n_tiles, tile, band), dtype=np.float32)
-    # accumulate (duplicate edges add, matching segment-sum semantics)
-    np.add.at(blocks, (t_idx, receivers - t0, col), 1.0)
-
-    col_off = np.zeros(n_tiles, dtype=np.int32)
+    # window offsets first (vectorized over tiles, no edge pass needed),
+    # clamped so the window never reads past the node array
     all_t0 = np.arange(n_tiles, dtype=np.int64) * tile
     all_lo = np.maximum(all_t0 + tile // 2 - band // 2, 0)
-    col_off[:] = (all_lo // align) * align
-    # clamp so the window never reads past the node array
+    col_off = (all_lo // align) * align
     col_off = np.minimum(col_off, max(num_nodes - band, 0)).astype(np.int32)
-    # recompute columns against the clamped offsets
-    blocks[:] = 0.0
+
+    t_idx = receivers // tile
+    t0 = t_idx * tile
     col = senders - col_off[t_idx]
     if len(col) and (col.min() < 0 or col.max() >= band):
         raise ValueError(
             "edge escapes band window; increase band or use the COO path")
-    np.add.at(blocks, (t_idx, receivers - t0, col), 1.0)
+
+    # accumulate (duplicate edges add, matching segment-sum semantics);
+    # single pass — col_off needed no edge-dependent first build
+    blocks = np.zeros((n_tiles, tile, band), dtype=np.float32)
+    lin = (t_idx * tile + (receivers - t0)) * band + col
+    np.add.at(blocks.reshape(-1), lin, 1.0)
 
     return BandedAdjacency(blocks=blocks, col_off=col_off,
                            num_nodes=num_nodes)

@@ -85,12 +85,14 @@ def pack_graphs(graphs: Sequence[GraphData],
                 num_edges: int,
                 num_graphs: int,
                 num_tasks: Optional[int] = None,
-                banded: bool = True) -> GraphBatch:
+                banded="device") -> GraphBatch:
     """Pack graphs into one padded GraphBatch with the given capacities.
 
     Edges are sorted by receiver (then sender) so device-side segment
     reductions take the sorted path.  Raises if capacities are exceeded.
-    ``banded=True`` additionally emits the block-dense banded adjacency
+    ``banded`` controls the block-dense banded adjacency layout: 'device'
+    (default) ships only the tiny col_off and lets the model scatter the
+    blocks on device; True/'host' builds them here; False disables
     (graph/banded.py) when every graph fits the band — the GIN MXU fast
     path; silently omitted otherwise."""
     total_n = sum(g.num_nodes for g in graphs)
@@ -152,7 +154,8 @@ def pack_graphs(graphs: Sequence[GraphData],
     band_blocks = band_col_off = None
     if banded:
         band_blocks, band_col_off = _try_banded(senders, receivers,
-                                                edge_mask, num_nodes)
+                                                edge_mask, num_nodes,
+                                                mode=banded)
 
     return GraphBatch(
         node_feat=node_feat, node_graph=node_graph, node_mask=node_mask,
@@ -162,11 +165,20 @@ def pack_graphs(graphs: Sequence[GraphData],
 
 
 def _try_banded(senders, receivers, edge_mask, num_nodes,
-                tile: int = 128, band: int = 256):
-    from .banded import pack_banded
+                tile: int = 128, band: int = 256, mode=True):
+    """mode True/'host': build [T, tile, band] blocks here;
+    mode 'device': only verify feasibility and return the tiny col_off —
+    the model builds the blocks on device (banded.build_blocks_jax),
+    saving the ~20 MB/batch host->device block upload."""
+    from .banded import banded_col_off, fits_band_masked, pack_banded
 
     if num_nodes % tile != 0 or num_nodes < band:
         return None, None
+    if mode == "device":
+        if not fits_band_masked(senders, receivers, edge_mask, num_nodes,
+                                tile, band):
+            return None, None
+        return None, banded_col_off(num_nodes, tile, band)
     try:
         b = pack_banded(senders, receivers, edge_mask, num_nodes, tile,
                         band)
@@ -181,17 +193,66 @@ class EgoNets:
 
     ``node_lists[v]`` — original node ids in v's ego-net (v first).
     ``edge_lists[v]`` — (senders, receivers) local to node_lists[v].
+
+    ``flat()`` returns (and caches) the concatenated per-graph view the
+    batch packer consumes — computing it once per graph amortizes the
+    Python-loop flattening across epochs (it was the host-side hot loop:
+    ~2.5k tiny slice assignments per 128-graph batch).
     """
 
     node_lists: List[np.ndarray]
     edge_lists: List[Tuple[np.ndarray, np.ndarray]]
+
+    def flat(self) -> "FlatEgoNets":
+        cached = getattr(self, "_flat", None)
+        if cached is None:
+            n = len(self.node_lists)
+            node_off = np.zeros(n + 1, np.int64)
+            edge_off = np.zeros(n + 1, np.int64)
+            for v, nl in enumerate(self.node_lists):
+                node_off[v + 1] = node_off[v] + len(nl)
+                edge_off[v + 1] = edge_off[v] + len(self.edge_lists[v][0])
+            nodes = (np.concatenate(self.node_lists).astype(np.int32)
+                     if n else np.zeros(0, np.int32))
+            if n and edge_off[-1]:
+                es = np.concatenate([el[0] for el in self.edge_lists])
+                er = np.concatenate([el[1] for el in self.edge_lists])
+                # lift ego-local edge endpoints to graph-flat positions
+                base = np.repeat(node_off[:-1], np.diff(edge_off))
+                es = (es + base).astype(np.int32)
+                er = (er + base).astype(np.int32)
+            else:
+                es = np.zeros(0, np.int32)
+                er = np.zeros(0, np.int32)
+            cached = FlatEgoNets(nodes=nodes, node_off=node_off,
+                                 senders=es, receivers=er,
+                                 edge_off=edge_off)
+            object.__setattr__(self, "_flat", cached)
+        return cached
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatEgoNets:
+    """Concatenated ego-nets of ONE graph, in center order.
+
+    ``nodes``     [S]  original node id of each flattened sub-node
+    ``node_off``  [n+1] sub-node offsets per center
+    ``senders``/``receivers`` [Q] edges with graph-flat endpoints
+    ``edge_off``  [n+1] edge offsets per center
+    """
+
+    nodes: np.ndarray
+    node_off: np.ndarray
+    senders: np.ndarray
+    receivers: np.ndarray
+    edge_off: np.ndarray
 
 
 def pack_subgraphs(graphs: Sequence[GraphData],
                    egonets: Sequence[EgoNets],
                    num_sub_nodes: int,
                    num_sub_edges: int,
-                   banded: bool = True) -> SubgraphBatch:
+                   banded="device") -> SubgraphBatch:
     """Flatten per-node ego-nets of a batch into one padded SubgraphBatch.
 
     Mirrors the reference's ``chain.from_iterable(batch_subgraphs)`` +
@@ -199,8 +260,9 @@ def pack_subgraphs(graphs: Sequence[GraphData],
     concatenated in (graph, node) order so segment ids equal the center
     node's global index in the packed GraphBatch.
     """
-    total_s = sum(len(nl) for e in egonets for nl in e.node_lists)
-    total_q = sum(len(el[0]) for e in egonets for el in e.edge_lists)
+    flats = [e.flat() for e in egonets]
+    total_s = int(sum(f.node_off[-1] for f in flats))
+    total_q = int(sum(f.edge_off[-1] for f in flats))
     if total_s > num_sub_nodes:
         raise ValueError(f"sub-node capacity {num_sub_nodes} < {total_s}")
     if total_q > num_sub_edges:
@@ -215,23 +277,24 @@ def pack_subgraphs(graphs: Sequence[GraphData],
     receivers = np.zeros(num_sub_edges, dtype=np.int32)
     edge_mask = np.zeros(num_sub_edges, dtype=bool)
 
-    s_off = 0
-    q_off = 0
+    s_off = 0   # sub-node write offset in the packed batch
+    q_off = 0   # sub-edge write offset
     n_off = 0   # global node offset of the current graph in the GraphBatch
-    for g, ego in zip(graphs, egonets):
-        for v, (nl, (es, er)) in enumerate(zip(ego.node_lists,
-                                               ego.edge_lists)):
-            m = len(nl)
-            node_feat[s_off:s_off + m] = g.node_feat[nl]
-            node_center[s_off:s_off + m] = n_off + v
-            node_orig[s_off:s_off + m] = n_off + nl
-            node_mask[s_off:s_off + m] = True
-            q = len(es)
-            senders[q_off:q_off + q] = es + s_off
-            receivers[q_off:q_off + q] = er + s_off
-            edge_mask[q_off:q_off + q] = True
-            s_off += m
-            q_off += q
+    for g, f in zip(graphs, flats):
+        m = int(f.node_off[-1])
+        q = int(f.edge_off[-1])
+        node_feat[s_off:s_off + m] = g.node_feat[f.nodes]
+        # segment id = the center's global node index in the GraphBatch
+        node_center[s_off:s_off + m] = n_off + np.repeat(
+            np.arange(g.num_nodes, dtype=np.int32),
+            np.diff(f.node_off))
+        node_orig[s_off:s_off + m] = n_off + f.nodes
+        node_mask[s_off:s_off + m] = True
+        senders[q_off:q_off + q] = f.senders + s_off
+        receivers[q_off:q_off + q] = f.receivers + s_off
+        edge_mask[q_off:q_off + q] = True
+        s_off += m
+        q_off += q
         n_off += g.num_nodes
 
     pad_node = num_sub_nodes - 1 if s_off < num_sub_nodes else 0
@@ -248,7 +311,8 @@ def pack_subgraphs(graphs: Sequence[GraphData],
     band_blocks = band_col_off = None
     if banded:
         band_blocks, band_col_off = _try_banded(senders, receivers,
-                                                edge_mask, num_sub_nodes)
+                                                edge_mask, num_sub_nodes,
+                                                mode=banded)
     return SubgraphBatch(
         node_feat=node_feat, node_center=node_center, node_orig=node_orig,
         node_mask=node_mask, senders=senders,

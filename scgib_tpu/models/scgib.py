@@ -43,6 +43,26 @@ from .losses import (contrastive_infonce, kl_loss, l2_normalize, mae_loss,
 from .set2set import Set2Set
 
 
+def _resolve_band(batch):
+    """Banded adjacency for a Graph/SubgraphBatch, or None.
+
+    Host-packed blocks are used as-is.  When the packer shipped only
+    ``band_col_off`` (``banded='device'``), the [T, tile, band] blocks are
+    scattered together here, on device under jit — the COO upload is ~100
+    KB where the block upload is ~20 MB per batch."""
+    blocks = getattr(batch, "band_blocks", None)
+    col_off = getattr(batch, "band_col_off", None)
+    if col_off is None:
+        return None
+    if blocks is None:
+        from ..graph.banded import build_blocks_jax
+
+        n = batch.node_feat.shape[0]
+        blocks = build_blocks_jax(batch.senders, batch.receivers,
+                                  batch.edge_mask, col_off, n)
+    return blocks, col_off
+
+
 class CoreFeatures(NamedTuple):
     """Outputs of ``SCGIBCore.extract_features`` (models.py:750 return)."""
 
@@ -178,10 +198,12 @@ class SCGIBCore(nn.Module):
         enc_kw = {}
         sub_kw = {}
         if self.encoder == "GIN":
-            if g.band_blocks is not None:
-                enc_kw["band"] = (g.band_blocks, g.band_col_off)
-            if getattr(sub, "band_blocks", None) is not None:
-                sub_kw["band"] = (sub.band_blocks, sub.band_col_off)
+            band = _resolve_band(g)
+            if band is not None:
+                enc_kw["band"] = band
+            sub_band = _resolve_band(sub)
+            if sub_band is not None:
+                sub_kw["band"] = sub_band
         h = self.encoder1(x_proj, g.senders, g.receivers,
                           node_mask=g.node_mask, edge_mask=g.edge_mask,
                           train=train, **enc_kw)

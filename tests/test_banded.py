@@ -136,3 +136,53 @@ def test_banded_spmm_grad_matches_gather(batch):
     g2 = jax.grad(f_gather)(h)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_device_built_blocks_match_host():
+    """banded='device' ships only col_off; building the blocks on device
+    (graph/banded.py::build_blocks_jax) gives bit-identical blocks to the
+    host packer, and the model takes the same banded path."""
+    from scgib_tpu.data.synthetic import random_dataset
+    from scgib_tpu.graph.banded import build_blocks_jax
+    from scgib_tpu.graph.batching import pack_graphs
+
+    graphs = random_dataset(16, seed=7, min_nodes=8, max_nodes=20,
+                            feat_dim=9)
+    gh = pack_graphs(graphs, 512, 2048, 16, banded=True)
+    gd = pack_graphs(graphs, 512, 2048, 16, banded="device")
+    assert gh.band_blocks is not None and gd.band_blocks is None
+    np.testing.assert_array_equal(gh.band_col_off, gd.band_col_off)
+    blocks = build_blocks_jax(jnp.asarray(gd.senders),
+                              jnp.asarray(gd.receivers),
+                              jnp.asarray(gd.edge_mask),
+                              jnp.asarray(gd.band_col_off), 512)
+    np.testing.assert_array_equal(np.asarray(blocks), gh.band_blocks)
+
+
+def test_device_banded_model_parity():
+    """Full pretrain loss identical between host-built and device-built
+    banded layouts."""
+    import jax as _jax
+
+    from scgib_tpu.data.synthetic import random_dataset
+    from scgib_tpu.graph.batching import pack_graphs, pack_subgraphs
+    from scgib_tpu.graph.egonet import extract_egonets
+    from scgib_tpu.models.scgib import PretrainModel
+
+    graphs = random_dataset(8, seed=3, min_nodes=8, max_nodes=16,
+                            feat_dim=9)
+    egos = [extract_egonets(g, 1) for g in graphs]
+    packs = {}
+    for mode in (True, "device"):
+        packs[mode] = (pack_graphs(graphs, 256, 1024, 8, banded=mode),
+                       pack_subgraphs(graphs, egos, 1024, 4096,
+                                      banded=mode))
+    model = PretrainModel(in_dim=9, hidden=16, d_transfer=8)
+    v = model.init({"params": _jax.random.PRNGKey(0),
+                    "noise": _jax.random.PRNGKey(1)}, *packs[True],
+                   train=True)
+    losses = {m: float(model.apply(v, *packs[m], train=False,
+                                   rngs={"noise": _jax.random.PRNGKey(2)}
+                                   ).total)
+              for m in packs}
+    np.testing.assert_allclose(losses[True], losses["device"], rtol=1e-6)
