@@ -55,6 +55,13 @@ class GIN(nn.Module):
     num_convs: int = 4   # reference: num_layers(5) - 1
     axis_name: Optional[str] = None
     use_pallas: Optional[bool] = None   # None = auto (TPU + band present)
+    # 'bfloat16' runs the fused conv's matmuls in bf16 with f32 MXU
+    # accumulation (f32 output, f32 BatchNorm, f32 backward); None = f32,
+    # or set SCGIB_COMPUTE_DTYPE=bfloat16 globally.  Measured on v5e-1 at
+    # d=64: numerics within 0.06% but ~50x slower through current Mosaic
+    # (bf16 relayouts dominate at these tiny dims) — keep f32 unless
+    # profiling says otherwise at larger hidden sizes
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
@@ -80,14 +87,23 @@ class GIN(nn.Module):
                 # fused Pallas layer: banded MXU SpMM + both MLP matmuls
                 # in one kernel (~12x the gather+segment path per layer
                 # on v5e, bench_spmm.py); backward exploits A == A^T
+                import os as _os
+
                 from ..ops.pallas.banded import gin_banded_layer
 
+                cdt = self.compute_dtype or _os.environ.get(
+                    "SCGIB_COMPUTE_DTYPE")
                 _ = mlp(h[:1])   # register params; DCE'd under jit
                 p = mlp.variables["params"]
-                h = gin_banded_layer(
-                    band[0], band[1], h,
-                    p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
-                    p["Dense_1"]["kernel"], p["Dense_1"]["bias"])
+                args = (band[0], band[1], h,
+                        p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+                        p["Dense_1"]["kernel"], p["Dense_1"]["bias"])
+                if cdt == "bfloat16":
+                    bf = jnp.bfloat16
+                    args = (args[0].astype(bf), args[1], args[2].astype(bf),
+                            args[3].astype(bf), args[4],
+                            args[5].astype(bf), args[6])
+                h = gin_banded_layer(*args)
             else:
                 if band is not None:
                     # banded block-dense MXU aggregation (XLA variant)

@@ -41,20 +41,27 @@ def _kernel(col_off_ref, h_ref, blocks_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, out_ref):
     p = pl.program_id(0)
     tp, tile, band = blocks_ref.shape
+    # bf16 mode: operands arrive bf16 (caller cast), every dot accumulates
+    # f32 on the MXU, intermediates are re-rounded to bf16 between dots,
+    # and the output is always f32 (biases/BatchNorm stay full precision)
+    bf16 = h_ref.dtype == jnp.bfloat16
+    cdt = h_ref.dtype
 
     for j in range(tp):   # static unroll: tiles within this program
         t = p * tp + j
-        off = col_off_ref[t]
+        # col_off entries are 64-aligned by construction (banded.py align);
+        # Mosaic needs the hint to vectorize the bf16 (16-sublane) window
+        off = pl.multiple_of(col_off_ref[t], 64)
         win = h_ref[pl.ds(off, band), :]             # [band, d]
         agg = jnp.dot(blocks_ref[j], win,
                       preferred_element_type=jnp.float32)  # [tile, d]
         rows = h_ref[pl.ds(t * tile, tile), :]
-        z = agg + rows                               # GIN self term (eps=0)
-        z = jnp.dot(z, w1_ref[:, :],
+        z = agg + rows.astype(jnp.float32)           # GIN self term (eps=0)
+        z = jnp.dot(z.astype(cdt) if bf16 else z, w1_ref[:, :],
                     preferred_element_type=jnp.float32) + b1_ref[:, :]
         z = jnp.maximum(z, 0.0)
         out_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            z, w2_ref[:, :],
+            z.astype(cdt) if bf16 else z, w2_ref[:, :],
             preferred_element_type=jnp.float32) + b2_ref[:, :]
 
 
@@ -80,7 +87,7 @@ def _forward(blocks, col_off, h, w1, b1, w2, b2):
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d_out), h.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, d_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1.2 * (n * d + 2 * tp * tile * band
                                         + band * d) * 4) + (1 << 20)),
@@ -109,28 +116,36 @@ def _bwd(residuals, g):
     ``symmetrize_edges``), so the cotangent's neighbor scatter is the SAME
     banded SpMM — fully parallel MXU work, no serial scatter."""
     blocks, col_off, h, w1, b1, w2, b2 = residuals
+    # backward always in f32 (the bf16 mode speeds up the forward kernel;
+    # cotangents keep full precision, then round to the primal dtypes)
+    h32 = h.astype(jnp.float32)
+    w1_32 = w1.astype(jnp.float32)
+    w2_32 = w2.astype(jnp.float32)
+    blocks32 = blocks.astype(jnp.float32)
 
     # recompute forward intermediates (cheap, MXU)
-    agg = banded_spmm(blocks, col_off, h)
-    z0 = agg + h
-    z1 = z0 @ w1 + b1
-    relu_mask = (z1 > 0).astype(h.dtype)
+    agg = banded_spmm(blocks32, col_off, h32)
+    z0 = agg + h32
+    z1 = z0 @ w1_32 + b1
+    relu_mask = (z1 > 0).astype(jnp.float32)
     z1r = jnp.maximum(z1, 0.0)
 
-    g = g.astype(h.dtype)
+    g = g.astype(jnp.float32)
     db2 = jnp.sum(g, axis=0)
     dw2 = z1r.T @ g
-    gz1 = (g @ w2.T) * relu_mask
+    gz1 = (g @ w2_32.T) * relu_mask
     db1 = jnp.sum(gz1, axis=0)
     dw1 = z0.T @ gz1
-    gz0 = gz1 @ w1.T                                  # [N, d]
+    gz0 = gz1 @ w1_32.T                               # [N, d]
 
     # dh = gz0 (self term) + A^T gz0 = gz0 + A gz0 (symmetric A)
-    dh = gz0 + banded_spmm(blocks, col_off, gz0)
+    dh = gz0 + banded_spmm(blocks32, col_off, gz0)
 
     dblocks = jnp.zeros_like(blocks)  # adjacency is data, not a parameter
     dcol = jnp.zeros_like(col_off)
-    return dblocks, dcol, dh, dw1, db1, dw2, db2
+    return (dblocks, dcol, dh.astype(h.dtype), dw1.astype(w1.dtype),
+            db1.astype(b1.dtype), dw2.astype(w2.dtype),
+            db2.astype(b2.dtype))
 
 
 gin_banded_layer.defvjp(_fwd, _bwd)
