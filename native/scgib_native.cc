@@ -230,6 +230,84 @@ void scgib_gather_rows(const float* feat, int32_t feat_dim,
                 sizeof(float) * feat_dim);
 }
 
-int32_t scgib_version() { return 1; }
+// Batch packer over a FlatDataset (scgib_tpu/data/flat.py): for each
+// selected graph, copy its node-feature rows, edge lists, and flattened
+// ego-net arrays into the padded batch buffers with base offsets applied.
+// Per-graph edge lists are pre-sorted receiver-major and graphs occupy
+// disjoint ascending ranges, so outputs are globally sorted without any
+// batch-time sort.  Threaded across selected graphs (disjoint output
+// ranges -> no synchronization).  `used` returns
+// [nodes, edges, sub_nodes, sub_edges] real counts; padding-edge
+// self-loops and label handling stay in Python (cheap).
+void scgib_pack_batch(
+    int32_t n_sel, const int64_t* sel,
+    const int64_t* node_off, const int64_t* edge_off,
+    const int64_t* ego_node_off, const int64_t* ego_edge_off,
+    const float* feat, int32_t feat_dim,
+    const int32_t* senders, const int32_t* receivers,
+    const int32_t* ego_nodes, const int32_t* ego_center,
+    const int32_t* ego_senders, const int32_t* ego_receivers,
+    float* out_feat, int32_t* out_graph, int8_t* out_node_mask,
+    int32_t* out_send, int32_t* out_recv, int8_t* out_edge_mask,
+    int32_t* out_center, int32_t* out_orig, int8_t* out_sub_node_mask,
+    int32_t* out_sub_send, int32_t* out_sub_recv, int8_t* out_sub_edge_mask,
+    int64_t* used, int32_t n_threads) {
+  // per-selection output bases (prefix sums)
+  std::vector<int64_t> nb(n_sel + 1, 0), eb(n_sel + 1, 0),
+      sb(n_sel + 1, 0), qb(n_sel + 1, 0);
+  for (int32_t b = 0; b < n_sel; ++b) {
+    int64_t g = sel[b];
+    nb[b + 1] = nb[b] + (node_off[g + 1] - node_off[g]);
+    eb[b + 1] = eb[b] + (edge_off[g + 1] - edge_off[g]);
+    sb[b + 1] = sb[b] + (ego_node_off[g + 1] - ego_node_off[g]);
+    qb[b + 1] = qb[b] + (ego_edge_off[g + 1] - ego_edge_off[g]);
+  }
+  used[0] = nb[n_sel];
+  used[1] = eb[n_sel];
+  used[2] = sb[n_sel];
+  used[3] = qb[n_sel];
+
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    int32_t b;
+    while ((b = next.fetch_add(1)) < n_sel) {
+      const int64_t g = sel[b];
+      const int64_t n0 = node_off[g], n = node_off[g + 1] - n0;
+      const int64_t e0 = edge_off[g], e = edge_off[g + 1] - e0;
+      const int64_t s0 = ego_node_off[g], s = ego_node_off[g + 1] - s0;
+      const int64_t q0 = ego_edge_off[g], q = ego_edge_off[g + 1] - q0;
+      const int64_t nbase = nb[b], ebase = eb[b], sbase = sb[b],
+                    qbase = qb[b];
+      std::memcpy(out_feat + nbase * feat_dim, feat + n0 * feat_dim,
+                  sizeof(float) * n * feat_dim);
+      for (int64_t i = 0; i < n; ++i) out_graph[nbase + i] = b;
+      std::memset(out_node_mask + nbase, 1, n);
+      for (int64_t i = 0; i < e; ++i) {
+        out_send[ebase + i] = senders[e0 + i] + nbase;
+        out_recv[ebase + i] = receivers[e0 + i] + nbase;
+      }
+      std::memset(out_edge_mask + ebase, 1, e);
+      for (int64_t i = 0; i < s; ++i) {
+        out_center[sbase + i] = ego_center[s0 + i] + nbase;
+        out_orig[sbase + i] = ego_nodes[s0 + i] + nbase;
+      }
+      std::memset(out_sub_node_mask + sbase, 1, s);
+      for (int64_t i = 0; i < q; ++i) {
+        out_sub_send[qbase + i] = ego_senders[q0 + i] + sbase;
+        out_sub_recv[qbase + i] = ego_receivers[q0 + i] + sbase;
+      }
+      std::memset(out_sub_edge_mask + qbase, 1, q);
+    }
+  };
+  if (n_threads <= 1 || n_sel < 8) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+}
+
+int32_t scgib_version() { return 2; }
 
 }  // extern "C"

@@ -55,6 +55,17 @@ class GraphDataset:
             graphs=[self.graphs[i] for i in indices], k=self.k,
             egonets=[self.egonets[i] for i in indices])
 
+    def flat(self):
+        """Cached FlatDataset view (contiguous arrays; see data/flat.py)
+        — the fast batch-packing representation."""
+        fd = getattr(self, "_flat", None)
+        if fd is None:
+            from .flat import build_flat
+
+            fd = build_flat(self)
+            self._flat = fd
+        return fd
+
     def split(self, n_train: int, n_val: int,
               shuffle_seed: Optional[int] = None):
         """(train, val, test) via the reference's hardcoded prefix splits
@@ -103,43 +114,88 @@ def plan_capacities(ds: GraphDataset, batch_size: int,
     )
 
 
-def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
-                   shuffle: bool = True, seed: int = 0,
-                   drop_last: bool = False
-                   ) -> Iterator[Tuple[GraphBatch, SubgraphBatch]]:
-    """Yield packed (GraphBatch, SubgraphBatch) batches.  A batch whose
-    graphs overflow the planned capacities is split greedily (rare tail
-    case; logged by the caller via the smaller batch)."""
+def plan_batches(ds: GraphDataset, batch_size: int, caps: Capacities,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False) -> List[np.ndarray]:
+    """Index selections per batch, greedily shrunk so each fits the
+    planned capacities (rare tail case)."""
     order = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
 
+    n = np.array([g.num_nodes for g in ds.graphs], np.int64)
+    e = np.array([g.num_edges for g in ds.graphs], np.int64)
+    sn = np.array([sum(len(nl) for nl in ego.node_lists)
+                   for ego in ds.egonets], np.int64)
+    se = np.array([sum(len(el[0]) for el in ego.edge_lists)
+                   for ego in ds.egonets], np.int64)
+
+    plans: List[np.ndarray] = []
     i = 0
     while i < len(order):
         take = min(batch_size, len(order) - i)
         if drop_last and take < batch_size:
             break
-        # greedy shrink if capacity would overflow
         while take > 1:
             sel = order[i:i + take]
-            tot_n = sum(ds.graphs[j].num_nodes for j in sel)
-            tot_e = sum(ds.graphs[j].num_edges for j in sel)
-            tot_sn = sum(sum(len(nl) for nl in ds.egonets[j].node_lists)
-                         for j in sel)
-            tot_se = sum(sum(len(el[0]) for el in ds.egonets[j].edge_lists)
-                         for j in sel)
-            if (tot_n <= caps.nodes and tot_e <= caps.edges
-                    and tot_sn <= caps.sub_nodes
-                    and tot_se <= caps.sub_edges):
+            if (n[sel].sum() <= caps.nodes and e[sel].sum() <= caps.edges
+                    and sn[sel].sum() <= caps.sub_nodes
+                    and se[sel].sum() <= caps.sub_edges):
                 break
             take -= 1
-        sel = order[i:i + take]
-        graphs = [ds.graphs[j] for j in sel]
-        egos = [ds.egonets[j] for j in sel]
-        g = pack_graphs(graphs, caps.nodes, caps.edges, caps.graphs)
-        sub = pack_subgraphs(graphs, egos, caps.sub_nodes, caps.sub_edges)
-        yield g, sub
+        plans.append(order[i:i + take])
         i += take
+    return plans
+
+
+def pack_batch(ds: GraphDataset, sel: Sequence[int], caps: Capacities,
+               use_flat: bool = False) -> Tuple[GraphBatch, SubgraphBatch]:
+    if use_flat:
+        from .flat import pack_flat_batch
+
+        return pack_flat_batch(ds.flat(), sel, caps)
+    graphs = [ds.graphs[j] for j in sel]
+    egos = [ds.egonets[j] for j in sel]
+    g = pack_graphs(graphs, caps.nodes, caps.edges, caps.graphs)
+    sub = pack_subgraphs(graphs, egos, caps.sub_nodes, caps.sub_edges)
+    return g, sub
+
+
+def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
+                   shuffle: bool = True, seed: int = 0,
+                   drop_last: bool = False, workers: int = 0,
+                   use_flat: bool = True
+                   ) -> Iterator[Tuple[GraphBatch, SubgraphBatch]]:
+    """Yield packed (GraphBatch, SubgraphBatch) batches.
+
+    ``use_flat`` (default) packs from the FlatDataset view via the
+    threaded C++ library — ~1.4 ms per 128-graph batch vs ~5-15 ms for
+    the per-graph Python packers, bit-identical output.  ``workers > 0``
+    additionally packs up to that many batches concurrently on a thread
+    pool, yielding in order."""
+    plans = plan_batches(ds, batch_size, caps, shuffle, seed, drop_last)
+    if use_flat:
+        ds.flat()   # build once, outside the worker threads
+    if workers <= 0:
+        for sel in plans:
+            yield pack_batch(ds, sel, caps, use_flat)
+        return
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending: deque = deque()
+        it = iter(plans)
+        for sel in it:
+            pending.append(pool.submit(pack_batch, ds, sel, caps, use_flat))
+            if len(pending) >= 2 * workers:
+                break
+        for sel in it:
+            yield pending.popleft().result()
+            pending.append(pool.submit(pack_batch, ds, sel, caps, use_flat))
+        while pending:
+            yield pending.popleft().result()
 
 
 def prefetch_to_device(it: Iterator, size: int = 2,

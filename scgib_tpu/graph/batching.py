@@ -252,13 +252,19 @@ def pack_subgraphs(graphs: Sequence[GraphData],
                    egonets: Sequence[EgoNets],
                    num_sub_nodes: int,
                    num_sub_edges: int,
-                   banded="device") -> SubgraphBatch:
+                   banded="device",
+                   with_features: bool = False) -> SubgraphBatch:
     """Flatten per-node ego-nets of a batch into one padded SubgraphBatch.
 
     Mirrors the reference's ``chain.from_iterable(batch_subgraphs)`` +
     ``dgl.batch`` flattening (train_moleculenetBACE.py:141-149): ego-nets are
     concatenated in (graph, node) order so segment ids equal the center
     node's global index in the packed GraphBatch.
+
+    ``with_features=False`` (default) leaves ``node_feat=None`` — sub-node
+    features are exactly ``g.node_feat[node_orig]`` and the models gather
+    them on device, which removes the largest host->device array from the
+    wire format.
     """
     flats = [e.flat() for e in egonets]
     total_s = int(sum(f.node_off[-1] for f in flats))
@@ -269,7 +275,8 @@ def pack_subgraphs(graphs: Sequence[GraphData],
         raise ValueError(f"sub-edge capacity {num_sub_edges} < {total_q}")
 
     feat_dim = graphs[0].node_feat.shape[1]
-    node_feat = np.zeros((num_sub_nodes, feat_dim), dtype=np.float32)
+    node_feat = (np.zeros((num_sub_nodes, feat_dim), dtype=np.float32)
+                 if with_features else None)
     node_center = np.zeros(num_sub_nodes, dtype=np.int32)
     node_orig = np.zeros(num_sub_nodes, dtype=np.int32)
     node_mask = np.zeros(num_sub_nodes, dtype=bool)
@@ -283,7 +290,8 @@ def pack_subgraphs(graphs: Sequence[GraphData],
     for g, f in zip(graphs, flats):
         m = int(f.node_off[-1])
         q = int(f.edge_off[-1])
-        node_feat[s_off:s_off + m] = g.node_feat[f.nodes]
+        if node_feat is not None:
+            node_feat[s_off:s_off + m] = g.node_feat[f.nodes]
         # segment id = the center's global node index in the GraphBatch
         node_center[s_off:s_off + m] = n_off + np.repeat(
             np.arange(g.num_nodes, dtype=np.int32),

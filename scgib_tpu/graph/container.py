@@ -105,8 +105,11 @@ class SubgraphBatch:
     global index (0..N-1 of the owning batch).
 
     Shapes:
-      node_feat:    [S, F] float — features of sub-nodes (copies of the
-                                   original node's features)
+      node_feat:    [S, F] float or None — features of sub-nodes (copies
+                                   of the original node's features).  None
+                                   (default wire format) means "derive on
+                                   device as g.node_feat[node_orig]" —
+                                   saves the largest host->device array
       node_center:  [S]    int32 — center-node global index per sub-node
       node_orig:    [S]    int32 — original node global index per sub-node
                                    (gather map, lets us rebuild features on
@@ -117,7 +120,7 @@ class SubgraphBatch:
       edge_mask:    [Q]    bool
     """
 
-    node_feat: jnp.ndarray
+    node_feat: Optional[jnp.ndarray]
     node_center: jnp.ndarray
     node_orig: jnp.ndarray
     node_mask: jnp.ndarray

@@ -57,10 +57,19 @@ def _resolve_band(batch):
     if blocks is None:
         from ..graph.banded import build_blocks_jax
 
-        n = batch.node_feat.shape[0]
+        n = batch.node_mask.shape[0]
         blocks = build_blocks_jax(batch.senders, batch.receivers,
                                   batch.edge_mask, col_off, n)
     return blocks, col_off
+
+
+def _sub_features(g, sub):
+    """Sub-node features: shipped copies, or the on-device gather
+    ``g.node_feat[node_orig]`` when the packer left ``node_feat=None``
+    (the default wire format — see pack_subgraphs)."""
+    if sub.node_feat is not None:
+        return sub.node_feat
+    return jnp.take(g.node_feat, sub.node_orig, axis=0)
 
 
 class CoreFeatures(NamedTuple):
@@ -323,8 +332,9 @@ class PretrainModel(nn.Module):
                  train: bool = True) -> PretrainLosses:
         x = l2_normalize(g.node_feat) if self.normalize_input else \
             g.node_feat
-        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
-            sub.node_feat
+        x_sub_raw = _sub_features(g, sub)
+        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
+            x_sub_raw
         x_proj = self.transfer_d(x)
         x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
@@ -403,8 +413,9 @@ class FinetuneModel(nn.Module):
                  train: bool = True) -> jnp.ndarray:
         x = l2_normalize(g.node_feat) if self.normalize_input else \
             g.node_feat
-        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
-            sub.node_feat
+        x_sub_raw = _sub_features(g, sub)
+        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
+            x_sub_raw
         x_proj = self.transfer_d(x)
         x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
@@ -456,8 +467,9 @@ class DomainAdaptModel(nn.Module):
                  train: bool = True) -> jnp.ndarray:
         x = l2_normalize(g.node_feat) if self.normalize_input else \
             g.node_feat
-        x_sub = l2_normalize(sub.node_feat) if self.normalize_input else \
-            sub.node_feat
+        x_sub_raw = _sub_features(g, sub)
+        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
+            x_sub_raw
         x_proj = self.transfer_d(x)
         x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)

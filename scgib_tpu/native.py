@@ -70,6 +70,14 @@ def _load() -> Optional[ctypes.CDLL]:
             i64p, i64p, i32p, i32p, i32p, ctypes.c_int32]
         lib.scgib_gather_rows.argtypes = [
             f32p, ctypes.c_int32, i32p, ctypes.c_int64, f32p]
+        if hasattr(lib, "scgib_pack_batch"):
+            i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+            lib.scgib_pack_batch.argtypes = [
+                ctypes.c_int32, i64p, i64p, i64p, i64p, i64p,
+                f32p, ctypes.c_int32, i32p, i32p, i32p, i32p, i32p, i32p,
+                f32p, i32p, i8p, i32p, i32p, i8p,
+                i32p, i32p, i8p, i32p, i32p, i8p,
+                i64p, ctypes.c_int32]
         lib.scgib_version.restype = ctypes.c_int32
         _lib = lib
         return _lib
@@ -146,6 +154,47 @@ def extract_egonets_batch(graphs: Sequence[GraphData], k: int,
         result.append(EgoNets(node_lists=node_lists,
                               edge_lists=edge_lists))
     return result
+
+
+def pack_batch_native(fd, sel: np.ndarray, caps):
+    """Threaded C++ batch packer over a FlatDataset (scgib_pack_batch).
+
+    Returns the same tuple as ``data.flat._pack_numpy`` or None when the
+    library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "scgib_pack_batch"):
+        return None
+
+    sel = np.ascontiguousarray(sel, np.int64)
+    B = len(sel)
+    F = fd.feat.shape[1]
+    node_feat = np.zeros((caps.nodes, F), np.float32)
+    node_graph = np.zeros(caps.nodes, np.int32)
+    node_mask = np.zeros(caps.nodes, bool)
+    senders = np.zeros(caps.edges, np.int32)
+    receivers = np.zeros(caps.edges, np.int32)
+    edge_mask = np.zeros(caps.edges, bool)
+    node_center = np.zeros(caps.sub_nodes, np.int32)
+    node_orig = np.zeros(caps.sub_nodes, np.int32)
+    sub_node_mask = np.zeros(caps.sub_nodes, bool)
+    sub_s = np.zeros(caps.sub_edges, np.int32)
+    sub_r = np.zeros(caps.sub_edges, np.int32)
+    sub_edge_mask = np.zeros(caps.sub_edges, bool)
+    used = np.zeros(4, np.int64)
+
+    lib.scgib_pack_batch(
+        B, sel, fd.node_off, fd.edge_off, fd.ego_node_off, fd.ego_edge_off,
+        fd.feat, np.int32(F), fd.senders, fd.receivers, fd.ego_nodes,
+        fd.ego_center, fd.ego_senders, fd.ego_receivers,
+        node_feat, node_graph, node_mask.view(np.int8),
+        senders, receivers, edge_mask.view(np.int8),
+        node_center, node_orig, sub_node_mask.view(np.int8),
+        sub_s, sub_r, sub_edge_mask.view(np.int8),
+        used, np.int32(min(os.cpu_count() or 1, 8)))
+    return (node_feat, node_graph, node_mask, senders, receivers,
+            edge_mask, node_center, node_orig, sub_node_mask, sub_s,
+            sub_r, sub_edge_mask, int(used[0]), int(used[1]),
+            int(used[2]), int(used[3]))
 
 
 def gather_rows(feat: np.ndarray, idx: np.ndarray) -> np.ndarray:

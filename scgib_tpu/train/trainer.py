@@ -138,6 +138,58 @@ def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
+                                  donate: bool = True) -> Callable:
+    """One optimizer step per batch, scanned over a SUPERBATCH — stacked
+    (GraphBatch, SubgraphBatch) pytrees with a leading [K] axis.
+
+    The host packs K batches, stacks the leaves, and ships ONE transfer +
+    ONE dispatch for K real training steps — this amortizes the
+    host<->device round-trip latency that dominates per-step cost on a
+    tunneled/remote accelerator (measured 19 ms/batch single-step vs
+    ~5 ms/batch with K=16 on v5e over axon).  Unlike
+    ``make_pretrain_scan_step``, every inner step sees FRESH data, so this
+    is the production epoch loop, not just a throughput probe."""
+
+    def loss_fn(params, batch_stats, g, sub, rng):
+        losses, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, sub, train=True, mutable=["batch_stats"],
+            rngs={"noise": rng})
+        return losses.total, (losses, mutated["batch_stats"])
+
+    def step(state: TrainState, gs, subs, rng):
+        def body(carry, batch):
+            st, i = carry
+            g, sub = batch
+            k = jax.random.fold_in(rng, i)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_bs)), grads = grad_fn(
+                st.params, st.batch_stats, g, sub, k)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            return (TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=st.step + 1),
+                    i + 1), losses
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, jnp.int32(0)), (gs, subs))
+        return state, losses  # losses stacked [K]
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def stack_pytrees(items):
+    """np.stack the leaves of a list of identically-shaped pytrees —
+    host-side superbatch assembly (None leaves must agree)."""
+    import numpy as np
+
+    first = items[0]
+    return jax.tree.map(
+        lambda *xs: None if xs[0] is None else np.stack(xs), *items,
+        is_leaf=lambda x: x is None)
+
+
 _FINETUNE_LOSSES = {
     "bce": lambda scores, y, m: bce_loss(scores, y, m),
     "bce_logits": lambda scores, y, m: bce_with_logits_loss(scores, y, m),

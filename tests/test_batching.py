@@ -102,7 +102,8 @@ def test_egonet_sizes_consistent():
 def test_pack_subgraphs_alignment():
     graphs = [path_graph(3), path_graph(4)]
     egonets = [extract_egonets(g, 1) for g in graphs]
-    sub = pack_subgraphs(graphs, egonets, 64, 128)
+    sub = pack_subgraphs(graphs, egonets, 64, 128,
+                         with_features=True)
     # center ids are global node indices, grouped contiguously
     centers = sub.node_center[sub.node_mask]
     assert centers.min() == 0 and centers.max() == 6  # 3 + 4 nodes -> 0..6

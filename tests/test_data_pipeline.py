@@ -25,7 +25,8 @@ def test_plan_capacities_fit(ds):
     for g, sub in batches:
         total += int(np.asarray(g.graph_mask).sum())
         assert g.node_feat.shape[0] == caps.nodes
-        assert sub.node_feat.shape[0] == caps.sub_nodes
+        assert sub.node_feat is None   # derived on device
+        assert sub.node_mask.shape[0] == caps.sub_nodes
     assert total == len(ds)
 
 

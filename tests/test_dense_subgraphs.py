@@ -66,10 +66,11 @@ def test_losses_match(setup):
 def test_candidates_match(setup):
     g, sub_coo, sub_dense, coo_model, dense_model, variables = setup
     from scgib_tpu.models.losses import l2_normalize
+    from scgib_tpu.models.scgib import _sub_features
     from scgib_tpu.ops.segment import segment_sum
 
     def cand_coo(m, g_, sub_):
-        xs = m.transfer_d(l2_normalize(sub_.node_feat))
+        xs = m.transfer_d(l2_normalize(_sub_features(g_, sub_)))
         h_sub = m.core.encoder2(xs, sub_.senders, sub_.receivers,
                                 node_mask=sub_.node_mask,
                                 edge_mask=sub_.edge_mask, train=True)
@@ -77,7 +78,7 @@ def test_candidates_match(setup):
                            mask=sub_.node_mask)
 
     def cand_dense(m, g_, sub_):
-        xs = m.transfer_d(l2_normalize(sub_.node_feat))
+        xs = m.transfer_d(l2_normalize(_sub_features(g_, sub_)))
         h_sub = m.core.encoder2(xs, sub_.adj, mask=sub_.mask, train=True)
         return jnp.sum(h_sub * sub_.mask.astype(h_sub.dtype)[:, :, None],
                        axis=1)

@@ -225,8 +225,9 @@ def test_features_match_oracle(setup):
 
     def features(m, g_, sub_):
         from scgib_tpu.models.losses import l2_normalize
+        from scgib_tpu.models.scgib import _sub_features
         xp = m.transfer_d(l2_normalize(g_.node_feat))
-        xs = m.transfer_d(l2_normalize(sub_.node_feat))
+        xs = m.transfer_d(l2_normalize(_sub_features(g_, sub_)))
         return m.core.extract_features(g_, sub_, xp, xs, train=True)
 
     feats, _ = model.apply(variables, g, sub, method=features,
