@@ -74,6 +74,13 @@ def _build_dataset(args, num_tasks=None, feat_dim=9):
         if skipped:
             print(f"skipped {len(skipped)} unparseable SMILES")
         return GraphDataset(graphs, k=args.k)
+    if getattr(args, "zinc_root", None):
+        from .data.zinc import load_zinc
+
+        graphs = load_zinc(args.zinc_root,
+                           split=getattr(args, "zinc_split", "train"),
+                           limit=args.limit or None)
+        return GraphDataset(graphs, k=args.k)
     if getattr(args, "peptides_root", None):
         from .data.molnet import load_peptides
 
@@ -405,6 +412,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="dir holding PCQM4Mv2 raw/data.csv.gz")
         sp.add_argument("--peptides_root", default=None,
                         help="dir holding the LRGB peptides tables")
+        sp.add_argument("--zinc_root", default=None,
+                        help="dir holding ZINC <split>.pickle "
+                             "(benchmarking-gnns format)")
+        sp.add_argument("--zinc_split", default="train",
+                        choices=["train", "val", "test"])
         sp.add_argument("--limit", type=int, default=0,
                         help="cap graphs loaded (reference caps PCQM4Mv2/"
                              "QM9 at 100k, exp_pcqm4mv2.py:394)")
@@ -440,6 +452,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--qm9_root", default=None)
     sp.add_argument("--pcqm4mv2_root", default=None)
     sp.add_argument("--peptides_root", default=None)
+    sp.add_argument("--zinc_root", default=None)
+    sp.add_argument("--zinc_split", default="train",
+                    choices=["train", "val", "test"])
     sp.add_argument("--tudataset_root", default=None)
     sp.add_argument("--limit", type=int, default=0)
     sp.add_argument("--k", type=int, default=1)

@@ -75,3 +75,16 @@ def attach_laplacian_pe(graph: GraphData, pos_enc_dim: int) -> GraphData:
                      node_feat=np.concatenate(
                          [graph.node_feat, pe], axis=1).astype(np.float32),
                      label=graph.label)
+
+
+def make_full_graph(graph: GraphData) -> GraphData:
+    """Complete-graph rewiring keeping node features/labels — the
+    reference's full-graph transformer variant (molecules.py:115-131:
+    ``nx.complete_graph`` edges, features carried over, edge features
+    zeroed).  No self loops, both edge directions."""
+    n = graph.num_nodes
+    s, r = np.meshgrid(np.arange(n, dtype=np.int32),
+                       np.arange(n, dtype=np.int32), indexing="ij")
+    keep = s != r
+    return GraphData(senders=s[keep].ravel(), receivers=r[keep].ravel(),
+                     node_feat=graph.node_feat, label=graph.label)

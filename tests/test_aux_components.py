@@ -47,6 +47,20 @@ def test_wl_pe_distinguishes_structure():
     assert colors[0] != colors[1]
 
 
+def test_make_full_graph():
+    from scgib_tpu.graph.pos_enc import make_full_graph
+
+    g = random_dataset(1, seed=5, min_nodes=6, max_nodes=6)[0]
+    fg = make_full_graph(g)
+    n = g.num_nodes
+    assert fg.num_edges == n * (n - 1)          # complete, no self loops
+    assert not np.any(fg.senders == fg.receivers)
+    np.testing.assert_array_equal(fg.node_feat, g.node_feat)
+    # bidirectional
+    es = set(zip(fg.senders.tolist(), fg.receivers.tolist()))
+    assert all((b, a) in es for a, b in es)
+
+
 def test_clustering_metrics():
     # two perfect communities
     n = 6
