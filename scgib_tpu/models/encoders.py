@@ -181,7 +181,7 @@ class GraphTransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
-                 edge_mask=None, train: bool = True):
+                 edge_mask=None, band=None, train: bool = True):
         n = h.shape[0]
         hd = self.hidden // self.num_heads
 
@@ -189,12 +189,21 @@ class GraphTransformerLayer(nn.Module):
         k = nn.Dense(self.hidden, name="K")(h).reshape(n, self.num_heads, hd)
         v = nn.Dense(self.hidden, name="V")(h).reshape(n, self.num_heads, hd)
 
-        # SDDMM edge scores then the reference's clamp+exp normalization
-        score = sddmm_dot(k, q, senders, receivers) / jnp.sqrt(float(hd))
-        w = segment_normalize_exp(score, receivers, n, mask=edge_mask)
+        if band is not None:
+            # banded MXU path: dense per-tile window attention
+            # (ops/spmm_banded.py::gt_banded_attention, parity-tested
+            # against the COO composition below)
+            from ..ops.spmm_banded import gt_banded_attention
 
-        msg = jnp.take(v, senders, axis=0) * w[:, :, None]
-        attn = segment_sum(msg, receivers, n, mask=edge_mask)
+            attn = gt_banded_attention(band[0], band[1], q, k, v)
+        else:
+            # COO path: SDDMM edge scores then the reference's clamp+exp
+            # normalization
+            score = sddmm_dot(k, q, senders, receivers) / jnp.sqrt(float(hd))
+            w = segment_normalize_exp(score, receivers, n, mask=edge_mask)
+
+            msg = jnp.take(v, senders, axis=0) * w[:, :, None]
+            attn = segment_sum(msg, receivers, n, mask=edge_mask)
         attn = attn.reshape(n, self.hidden)
 
         out = nn.Dense(self.hidden, name="O")(attn)
@@ -217,14 +226,14 @@ class GraphTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
-                 edge_mask=None, train: bool = True):
+                 edge_mask=None, band=None, train: bool = True):
         h = nn.Dense(self.hidden, use_bias=False, name="embed")(h)
         h = _mask_rows(h, node_mask)
         for i in range(self.num_layers + 1):
             h = GraphTransformerLayer(
                 self.hidden, self.num_heads, name=f"layer{i}")(
                     h, senders, receivers, node_mask=node_mask,
-                    edge_mask=edge_mask, train=train)
+                    edge_mask=edge_mask, band=band, train=train)
         return h
 
 

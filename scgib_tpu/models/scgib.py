@@ -206,7 +206,7 @@ class SCGIBCore(nn.Module):
         # 1-2. twin encoders over the graph batch and the flattened ego-nets
         enc_kw = {}
         sub_kw = {}
-        if self.encoder == "GIN":
+        if self.encoder in ("GIN", "Transformer"):
             band = _resolve_band(g)
             if band is not None:
                 enc_kw["band"] = band
