@@ -169,7 +169,9 @@ def cmd_pretrain(args):
     step = make_pretrain_step(model, tx)
     state, info = run_pretraining(step, state, ds, caps, args.batch_size,
                                   epochs=args.epochs,
-                                  patience=args.patience, seed=args.seed)
+                                  patience=args.patience, seed=args.seed,
+                                  autosave_path=args.autosave or None,
+                                  autosave_every=args.autosave_every)
     out = args.out or "outputs/pretrain.msgpack"
     ckpt.save_checkpoint(out, info["best_variables"],
                          config=_args_config(args), step=info["best_epoch"])
@@ -470,6 +472,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["corrected", "reference"])
     sp.add_argument("--curriculum", action="store_true",
                     help="3-stage curriculum (exp_pretraining flow)")
+    sp.add_argument("--autosave", default=None,
+                    help="full-train-state autosave path: resumes "
+                         "automatically after preemption/crash")
+    sp.add_argument("--autosave_every", type=int, default=1,
+                    help="autosave cadence in epochs")
     sp.add_argument("--stage_caches", default=None,
                     help="comma-separated stage .npz caches")
     sp.set_defaults(fn=cmd_pretrain)

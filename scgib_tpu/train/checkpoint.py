@@ -61,6 +61,40 @@ def exists(path: str) -> bool:
     return os.path.exists(path)
 
 
+def save_train_state(path: str, state, epoch: int, rng,
+                     extra: Optional[Dict[str, Any]] = None) -> None:
+    """Atomic FULL-training-state autosave: params + batch_stats +
+    opt_state + step counter + epoch + RNG key (+ loop bookkeeping in
+    ``extra``) — enough to resume mid-run after preemption or a crash,
+    unlike ``save_checkpoint`` which persists only the variables.  The
+    reference has no equivalent (its only resilience is stage-level skip,
+    SURVEY.md §5); this is the elastic-recovery subsystem the rebuild
+    adds.  Write is tmp-then-rename so a mid-write kill never corrupts an
+    existing autosave."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    payload = {
+        "state": serialization.to_state_dict(host_state),
+        "epoch": int(epoch),
+        "rng": np.asarray(rng),
+        "extra": serialization.to_state_dict(extra or {}),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_train_state(path: str, template_state):
+    """Restore an autosave into ``template_state``'s structure.  Returns
+    (state, epoch, rng, extra)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template_state, payload["state"])
+    rng = jax.numpy.asarray(payload["rng"], dtype=jax.numpy.uint32)
+    return state, int(payload["epoch"]), rng, payload.get("extra", {})
+
+
 def load_core_into(variables: Dict[str, Any],
                    pretrained: Dict[str, Any]) -> Dict[str, Any]:
     """Graft a pretrained model's ``core`` subtree (params + batch_stats)

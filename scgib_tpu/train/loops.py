@@ -47,19 +47,45 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     ds: GraphDataset, caps: Capacities, batch_size: int,
                     epochs: int, patience: int = 50, seed: int = 42,
                     rng=None, track_best: bool = True,
-                    log: Optional[Callable[[str], None]] = print
+                    log: Optional[Callable[[str], None]] = print,
+                    autosave_path: Optional[str] = None,
+                    autosave_every: int = 1
                     ) -> Tuple[TrainState, Dict]:
     """One pretraining stage.  Returns (final state, info) where
-    info['best_variables'] are the best-train-loss weights."""
+    info['best_variables'] are the best-train-loss weights.
+
+    ``autosave_path`` enables preemption-safe elastic recovery (no
+    reference equivalent, SURVEY.md §5): the FULL train state (params,
+    batch stats, optimizer moments, RNG, early-stop counters) is written
+    atomically every ``autosave_every`` epochs, and an existing autosave
+    at the path resumes the run from the epoch after it was taken."""
     rng = jax.random.PRNGKey(seed) if rng is None else rng
     best_loss = float("inf")
     best_vars = None
     best_epoch = -1
     bad_epochs = 0
+    start_epoch = 0
     history: List[float] = []
     timer = StepTimer()
 
-    for epoch in range(epochs):
+    if autosave_path:
+        import os
+
+        from .checkpoint import load_train_state, save_train_state
+        if os.path.exists(autosave_path):
+            state, saved_epoch, rng, extra = load_train_state(
+                autosave_path, state)
+            start_epoch = saved_epoch + 1
+            best_loss = float(extra.get("best_loss", best_loss))
+            best_epoch = int(extra.get("best_epoch", best_epoch))
+            bad_epochs = int(extra.get("bad_epochs", bad_epochs))
+            history = [float(x) for x in
+                       np.asarray(extra.get("history", ()))]
+            if log:
+                log(f"resumed autosave at epoch {saved_epoch} "
+                    f"(best {best_loss:.5f})")
+
+    for epoch in range(start_epoch, epochs):
         total = 0.0
         nb = 0
         # background packer + async device upload (double buffered): the
@@ -93,6 +119,13 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                 if log:
                     log(f"early stop at epoch {epoch} (patience {patience})")
                 break
+        if autosave_path and (epoch + 1) % max(autosave_every, 1) == 0:
+            save_train_state(autosave_path, state, epoch, rng,
+                             extra={"best_loss": best_loss,
+                                    "best_epoch": best_epoch,
+                                    "bad_epochs": bad_epochs,
+                                    "history": np.asarray(history,
+                                                          np.float64)})
 
     if best_vars is None:   # track_best=False -> reference aliasing: last
         best_vars = _snapshot(state)

@@ -1,0 +1,80 @@
+"""Preemption-safe autosave/resume: an interrupted pretraining run resumed
+from its autosave reaches bit-identical state to an uninterrupted run
+(params, optimizer moments, RNG stream, early-stop counters)."""
+
+import numpy as np
+import jax
+
+from scgib_tpu.data.loader import GraphDataset, batch_iterator, \
+    plan_capacities
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.models.scgib import PretrainModel
+from scgib_tpu.train.checkpoint import load_train_state, save_train_state
+from scgib_tpu.train.loops import run_pretraining
+from scgib_tpu.train.trainer import TrainState, adam_l2, make_pretrain_step
+
+BATCH = 8
+HID, DT = 16, 8
+
+
+def _setup():
+    graphs = random_dataset(24, seed=5, min_nodes=6, max_nodes=14)
+    ds = GraphDataset(graphs, k=1)
+    caps = plan_capacities(ds, BATCH)
+    g0, sub0 = next(batch_iterator(ds, BATCH, caps, shuffle=False))
+    model = PretrainModel(in_dim=9, hidden=HID, d_transfer=DT)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g0, sub0, train=True)
+    tx = adam_l2(1e-3, weight_decay=5e-5)
+    step = make_pretrain_step(model, tx, donate=False)
+    return ds, caps, variables, tx, step
+
+
+def test_save_load_roundtrip(tmp_path):
+    ds, caps, variables, tx, step = _setup()
+    state = TrainState.create(variables, tx)
+    rng = jax.random.PRNGKey(7)
+    path = str(tmp_path / "auto.msgpack")
+    save_train_state(path, state, epoch=3, rng=rng,
+                     extra={"best_loss": 1.25, "bad_epochs": 2})
+    got, epoch, rng2, extra = load_train_state(path, state)
+    assert epoch == 3
+    np.testing.assert_array_equal(np.asarray(rng2), np.asarray(rng))
+    assert float(extra["best_loss"]) == 1.25
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(got.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    ds, caps, variables, tx, step = _setup()
+    path = str(tmp_path / "auto.msgpack")
+
+    # uninterrupted: 4 epochs
+    state_a = TrainState.create(variables, tx)
+    state_a, info_a = run_pretraining(step, state_a, ds, caps, BATCH,
+                                      epochs=4, seed=11, log=None)
+
+    # interrupted: 2 epochs with autosave, then resume to 4
+    state_b = TrainState.create(variables, tx)
+    state_b, _ = run_pretraining(step, state_b, ds, caps, BATCH,
+                                 epochs=2, seed=11, log=None,
+                                 autosave_path=path)
+    # fresh state (as after a crash/restart) — resume pulls everything
+    state_c = TrainState.create(variables, tx)
+    state_c, info_c = run_pretraining(step, state_c, ds, caps, BATCH,
+                                      epochs=4, seed=11, log=None,
+                                      autosave_path=path)
+
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.opt_state),
+                    jax.tree_util.tree_leaves(state_c.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert int(state_a.step) == int(state_c.step)
+    assert info_a["best_loss"] == info_c["best_loss"]
