@@ -341,10 +341,15 @@ def cmd_finetune(args):
             if args.pretrained and os.path.exists(args.pretrained):
                 rep_vars = ckpt.load_core_into(rep_vars, pre_vars)
         state = TrainState.create(rep_vars, tx)
+        autosave = getattr(args, "autosave", None)
         result = run_finetune(step, eval_fn, state, train_ds, val_ds,
                               test_ds, caps, args.batch_size, spec,
                               epochs=args.epochs, patience=args.patience,
-                              seed=args.seed + rep)
+                              seed=args.seed + rep,
+                              autosave_path=(f"{autosave}.rep{rep}"
+                                             if autosave else None),
+                              autosave_every=getattr(
+                                  args, "autosave_every", 1))
         values.append(result["test_at_best_val"])
     mean = float(np.mean(values))
     std = float(np.std(values))
@@ -483,6 +488,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("finetune", help="supervised fine-tuning")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)
+    sp.add_argument("--autosave", default=None,
+                    help="full-train-state autosave path prefix "
+                         "(per-repeat suffix .repN)")
+    sp.add_argument("--autosave_every", type=int, default=1)
     sp.add_argument("--dataset", required=True)
     sp.add_argument("--tudataset_root", default=None,
                     help="directory holding raw TUDataset text files")

@@ -176,8 +176,14 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
                  test_ds: GraphDataset, caps: Capacities, batch_size: int,
                  spec: DatasetSpec, epochs: int = 50, patience: int = 50,
                  wallclock_hours: float = 48.0, seed: int = 41, rng=None,
-                 log: Optional[Callable[[str], None]] = print) -> Dict:
-    """Supervised fine-tune loop with test-at-best-val selection."""
+                 log: Optional[Callable[[str], None]] = print,
+                 autosave_path: Optional[str] = None,
+                 autosave_every: int = 1) -> Dict:
+    """Supervised fine-tune loop with test-at-best-val selection.
+
+    ``autosave_path``: same preemption-safe elastic recovery as
+    ``run_pretraining`` — state + selection bookkeeping saved atomically
+    every ``autosave_every`` epochs, resumed automatically."""
     rng = jax.random.PRNGKey(seed) if rng is None else rng
     sign = 1.0 if spec.select == "max" else -1.0
     best_val = -float("inf")
@@ -185,12 +191,33 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
     best_epoch = -1
     best_loss = float("inf")
     bad_epochs = 0
+    start_epoch = 0
     t_start = time.time()
     history = []
 
     accum = max(int(getattr(spec, "grad_accum", 1)), 1)
 
-    for epoch in range(epochs):
+    if autosave_path:
+        import os
+
+        from .checkpoint import load_train_state, save_train_state
+        if os.path.exists(autosave_path):
+            state, saved_epoch, rng, extra = load_train_state(
+                autosave_path, state)
+            start_epoch = saved_epoch + 1
+            best_val = float(extra.get("best_val", best_val))
+            best_test = float(extra.get("best_test", best_test))
+            best_epoch = int(extra.get("best_epoch", best_epoch))
+            best_loss = float(extra.get("best_loss", best_loss))
+            bad_epochs = int(extra.get("bad_epochs", bad_epochs))
+            history = [tuple(row) for row in
+                       np.asarray(extra.get("history",
+                                            np.zeros((0, 3)))).tolist()]
+            if log:
+                log(f"resumed autosave at epoch {saved_epoch} "
+                    f"(best val {best_val:.5f})")
+
+    for epoch in range(start_epoch, epochs):
         total, nb = 0.0, 0
         pending = []
         for g, sub in prefetch_to_device(
@@ -226,14 +253,27 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
 
         if sign * val > sign * best_val or best_epoch < 0:
             best_val, best_test, best_epoch = val, test, epoch
+        stop = False
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             bad_epochs = 0
         else:
             bad_epochs += 1
             if bad_epochs >= patience:
-                break
+                stop = True
         if (time.time() - t_start) > wallclock_hours * 3600:
+            stop = True
+        if autosave_path and (stop or
+                              (epoch + 1) % max(autosave_every, 1) == 0):
+            save_train_state(autosave_path, state, epoch, rng,
+                             extra={"best_val": best_val,
+                                    "best_test": best_test,
+                                    "best_epoch": best_epoch,
+                                    "best_loss": best_loss,
+                                    "bad_epochs": bad_epochs,
+                                    "history": np.asarray(history,
+                                                          np.float64)})
+        if stop:
             break
 
     return {"best_val": best_val, "test_at_best_val": best_test,

@@ -78,3 +78,46 @@ def test_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     assert int(state_a.step) == int(state_c.step)
     assert info_a["best_loss"] == info_c["best_loss"]
+
+
+def test_finetune_resume_matches_uninterrupted(tmp_path):
+    from scgib_tpu.config import DATASETS
+    from scgib_tpu.data.synthetic import learnable_dataset
+    from scgib_tpu.models.scgib import FinetuneModel
+    from scgib_tpu.train.loops import run_finetune
+    from scgib_tpu.train.trainer import make_eval_fn, make_finetune_step
+
+    graphs = learnable_dataset(48, seed=9)
+    ds = GraphDataset(graphs, k=1)
+    caps = plan_capacities(ds, BATCH)
+    train_ds = ds.subset(range(0, 32))
+    val_ds = ds.subset(range(32, 40))
+    test_ds = ds.subset(range(40, 48))
+    spec = DATASETS["BACE"]
+
+    g0, sub0 = next(batch_iterator(train_ds, BATCH, caps, shuffle=False))
+    model = FinetuneModel(in_dim=9, num_out=1, hidden=HID, d_transfer=DT)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g0, sub0, train=True)
+    tx = adam_l2(1e-3, weight_decay=1e-5)
+    step = make_finetune_step(model, tx, loss_type="bce", donate=False)
+    eval_fn = make_eval_fn(model)
+    path = str(tmp_path / "ft.msgpack")
+
+    kw = dict(caps=caps, batch_size=BATCH, spec=spec, seed=13, log=None)
+    res_a = run_finetune(step, eval_fn, TrainState.create(variables, tx),
+                         train_ds, val_ds, test_ds, epochs=4, **kw)
+    run_finetune(step, eval_fn, TrainState.create(variables, tx),
+                 train_ds, val_ds, test_ds, epochs=2,
+                 autosave_path=path, **kw)
+    res_c = run_finetune(step, eval_fn, TrainState.create(variables, tx),
+                         train_ds, val_ds, test_ds, epochs=4,
+                         autosave_path=path, **kw)
+
+    for a, c in zip(jax.tree_util.tree_leaves(res_a["state"].params),
+                    jax.tree_util.tree_leaves(res_c["state"].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert res_a["best_val"] == res_c["best_val"]
+    assert res_a["test_at_best_val"] == res_c["test_at_best_val"]
+    assert res_a["best_epoch"] == res_c["best_epoch"]
