@@ -153,8 +153,9 @@ def cmd_pretrain(args):
                           **_common_model_kwargs(args))
     from .data.loader import batch_iterator
 
+    logm_k = args.k if args.recons_type == "logM" else None
     g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
-                                   shuffle=False))
+                                   shuffle=False, logm_k=logm_k))
     if args.pretrained and os.path.exists(args.pretrained):
         variables, _ = ckpt.load_checkpoint(args.pretrained)
         print(f"resumed from {args.pretrained}")
@@ -171,7 +172,10 @@ def cmd_pretrain(args):
                                   epochs=args.epochs,
                                   patience=args.patience, seed=args.seed,
                                   autosave_path=args.autosave or None,
-                                  autosave_every=args.autosave_every)
+                                  autosave_every=args.autosave_every,
+                                  logm_k=(args.k if
+                                          args.recons_type == "logM"
+                                          else None))
     out = args.out or "outputs/pretrain.msgpack"
     ckpt.save_checkpoint(out, info["best_variables"],
                          config=_args_config(args), step=info["best_epoch"])
@@ -235,8 +239,9 @@ def _run_curriculum(args):
                               recons_type=args.recons_type,
                               kl_mode=args.kl_mode, k_transition=args.k,
                               **_common_model_kwargs(args))
+        logm_k = args.k if args.recons_type == "logM" else None
         g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
-                                       shuffle=False))
+                                       shuffle=False, logm_k=logm_k))
         variables = model.init(
             {"params": jax.random.PRNGKey(args.seed + stage_i),
              "noise": jax.random.PRNGKey(args.seed + stage_i + 1)},
@@ -250,7 +255,8 @@ def _run_curriculum(args):
               f"feat_dim {feat_dim}")
         state, info = run_pretraining(
             step, state, ds, caps, args.batch_size, epochs=args.epochs,
-            patience=args.patience, seed=args.seed + stage_i)
+            patience=args.patience, seed=args.seed + stage_i,
+            logm_k=logm_k)
         ckpt.save_checkpoint(cp_path, info["best_variables"],
                              config=_args_config(args),
                              step=info["best_epoch"])

@@ -55,6 +55,18 @@ class GraphDataset:
             graphs=[self.graphs[i] for i in indices], k=self.k,
             egonets=[self.egonets[i] for i in indices])
 
+    def logms(self, k: int):
+        """Cached per-graph k-step transition logM lists (the analog of
+        the reference's precomputed ``pts/*_logMs_*.pt``,
+        exp_pcqm4mv2.py:437-441) for the logM reconstruction loss."""
+        cache = getattr(self, "_logms", None)
+        if cache is None or cache[0] != k:
+            from ..graph.transition import transition_logm
+
+            cache = (k, [transition_logm(g, k) for g in self.graphs])
+            self._logms = cache
+        return cache[1]
+
     def flat(self):
         """Cached FlatDataset view (contiguous arrays; see data/flat.py)
         — the fast batch-packing representation."""
@@ -149,22 +161,34 @@ def plan_batches(ds: GraphDataset, batch_size: int, caps: Capacities,
 
 
 def pack_batch(ds: GraphDataset, sel: Sequence[int], caps: Capacities,
-               use_flat: bool = False) -> Tuple[GraphBatch, SubgraphBatch]:
+               use_flat: bool = False, logm_k: Optional[int] = None
+               ) -> Tuple[GraphBatch, SubgraphBatch]:
     if use_flat:
         from .flat import pack_flat_batch
 
-        return pack_flat_batch(ds.flat(), sel, caps)
-    graphs = [ds.graphs[j] for j in sel]
-    egos = [ds.egonets[j] for j in sel]
-    g = pack_graphs(graphs, caps.nodes, caps.edges, caps.graphs)
-    sub = pack_subgraphs(graphs, egos, caps.sub_nodes, caps.sub_edges)
+        g, sub = pack_flat_batch(ds.flat(), sel, caps)
+    else:
+        graphs = [ds.graphs[j] for j in sel]
+        egos = [ds.egonets[j] for j in sel]
+        g = pack_graphs(graphs, caps.nodes, caps.edges, caps.graphs)
+        sub = pack_subgraphs(graphs, egos, caps.sub_nodes, caps.sub_edges)
+    if logm_k:
+        # attach block-diagonal k-step transition targets for the logM
+        # reconstruction loss (reference pts/*_logMs caches; O(k N^2))
+        from ..graph.transition import pack_logm_targets
+
+        logms = ds.logms(logm_k)
+        T, W = pack_logm_targets([ds.graphs[j] for j in sel],
+                                 [logms[j] for j in sel],
+                                 caps.nodes, logm_k)
+        g = g.replace(logm_targets=T, logm_weights=W)
     return g, sub
 
 
 def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
                    shuffle: bool = True, seed: int = 0,
                    drop_last: bool = False, workers: int = 0,
-                   use_flat: bool = True
+                   use_flat: bool = True, logm_k: Optional[int] = None
                    ) -> Iterator[Tuple[GraphBatch, SubgraphBatch]]:
     """Yield packed (GraphBatch, SubgraphBatch) batches.
 
@@ -172,13 +196,16 @@ def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
     threaded C++ library — ~1.4 ms per 128-graph batch vs ~5-15 ms for
     the per-graph Python packers, bit-identical output.  ``workers > 0``
     additionally packs up to that many batches concurrently on a thread
-    pool, yielding in order."""
+    pool, yielding in order.  ``logm_k`` attaches transition-matrix
+    targets to each GraphBatch (recons_type='logM')."""
     plans = plan_batches(ds, batch_size, caps, shuffle, seed, drop_last)
     if use_flat:
         ds.flat()   # build once, outside the worker threads
+    if logm_k:
+        ds.logms(logm_k)   # warm the cache once, outside workers
     if workers <= 0:
         for sel in plans:
-            yield pack_batch(ds, sel, caps, use_flat)
+            yield pack_batch(ds, sel, caps, use_flat, logm_k)
         return
 
     from collections import deque
@@ -188,12 +215,14 @@ def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
         pending: deque = deque()
         it = iter(plans)
         for sel in it:
-            pending.append(pool.submit(pack_batch, ds, sel, caps, use_flat))
+            pending.append(pool.submit(pack_batch, ds, sel, caps,
+                                       use_flat, logm_k))
             if len(pending) >= 2 * workers:
                 break
         for sel in it:
             yield pending.popleft().result()
-            pending.append(pool.submit(pack_batch, ds, sel, caps, use_flat))
+            pending.append(pool.submit(pack_batch, ds, sel, caps,
+                                       use_flat, logm_k))
         while pending:
             yield pending.popleft().result()
 

@@ -70,6 +70,12 @@ class GraphBatch:
     # gather + segment-sum (measured ~7.6x faster per layer on v5e)
     band_blocks: Optional[jnp.ndarray] = None    # [T, tile, band]
     band_col_off: Optional[jnp.ndarray] = None   # [T]
+    # optional k-step transition targets for recons_type='logM'
+    # (graph/transition.py::pack_logm_targets): block-diagonal padded
+    # logM matrices + the per-graph 1/n^2 weight mask.  O(k N^2) memory —
+    # only attach when the logM loss is in use (batch_iterator(logm_k=k))
+    logm_targets: Optional[jnp.ndarray] = None   # [k, N, N]
+    logm_weights: Optional[jnp.ndarray] = None   # [N, N]
 
     @property
     def num_nodes(self) -> int:

@@ -360,8 +360,14 @@ class PretrainModel(nn.Module):
                                    g.node_mask, axis_name=self.axis_name,
                                    impl=self.recons_impl)
         elif self.recons_type == "logM":
+            # explicit call args win; otherwise the batch carries them
+            # (batch_iterator(logm_k=k) attaches block-diagonal targets)
+            if logm_targets is None:
+                logm_targets = g.logm_targets
+                logm_weights = g.logm_weights
             if logm_targets is None or logm_weights is None:
-                raise ValueError("recons_type='logM' requires logm targets")
+                raise ValueError("recons_type='logM' requires logm targets "
+                                 "(pass them or pack with logm_k)")
             recon = recon_logm_loss(im, logm_targets, logm_weights,
                                     self.k_transition)
         else:

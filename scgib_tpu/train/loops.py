@@ -49,7 +49,8 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     rng=None, track_best: bool = True,
                     log: Optional[Callable[[str], None]] = print,
                     autosave_path: Optional[str] = None,
-                    autosave_every: int = 1
+                    autosave_every: int = 1,
+                    logm_k: Optional[int] = None
                     ) -> Tuple[TrainState, Dict]:
     """One pretraining stage.  Returns (final state, info) where
     info['best_variables'] are the best-train-loss weights.
@@ -93,7 +94,7 @@ def run_pretraining(step_fn: Callable, state: TrainState,
         # it synchronously per step would dominate the step time
         for g, sub in prefetch_to_device(
                 batch_iterator(ds, batch_size, caps, shuffle=True,
-                               seed=seed + epoch)):
+                               seed=seed + epoch, logm_k=logm_k)):
             rng, k = jax.random.split(rng)
             n_edges = int(np.asarray(g.edge_mask).sum()
                           + np.asarray(sub.edge_mask).sum())

@@ -88,3 +88,53 @@ def test_ce_matches_torch():
     theirs = float(torch.nn.CrossEntropyLoss()(
         torch.tensor(logits), torch.tensor(labels)))
     assert ours == pytest.approx(theirs, rel=1e-6)
+
+
+def test_logm_mode_trains_from_batch_targets():
+    """recons_type='logM' end-to-end: batch_iterator(logm_k=k) attaches
+    block-diagonal transition targets, the model reads them from the
+    GraphBatch, and a training step produces a finite loss equal to the
+    explicit-args path."""
+    import jax
+
+    from scgib_tpu.data.loader import GraphDataset, batch_iterator, \
+        plan_capacities
+    from scgib_tpu.data.synthetic import random_dataset
+    from scgib_tpu.models.scgib import PretrainModel
+    from scgib_tpu.train.trainer import TrainState, adam_l2, \
+        make_pretrain_step
+
+    k = 2
+    graphs = random_dataset(12, seed=6, min_nodes=5, max_nodes=10)
+    ds = GraphDataset(graphs, k=1)
+    caps = plan_capacities(ds, 4)
+    g, sub = next(batch_iterator(ds, 4, caps, shuffle=False, logm_k=k))
+    assert g.logm_targets is not None
+    assert g.logm_targets.shape == (k, caps.nodes, caps.nodes)
+
+    model = PretrainModel(in_dim=9, hidden=16, d_transfer=8,
+                          recons_type="logM", k_transition=k,
+                          deterministic=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g, sub, train=False)
+
+    # implicit (batch-carried) == explicit (call-arg) targets
+    li = model.apply(variables, g, sub, train=False,
+                     rngs={"noise": jax.random.PRNGKey(2)})
+    le = model.apply(variables, g.replace(logm_targets=None,
+                                          logm_weights=None),
+                     sub, train=False,
+                     logm_targets=g.logm_targets,
+                     logm_weights=g.logm_weights,
+                     rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(li.reconstruction),
+                               np.asarray(le.reconstruction))
+    assert np.isfinite(float(li.total))
+
+    # one optimizer step runs under jit
+    tx = adam_l2(1e-3)
+    state = TrainState.create(variables, tx)
+    step = make_pretrain_step(model, tx, donate=False)
+    state, losses = step(state, g, sub, jax.random.PRNGKey(3))
+    assert np.isfinite(float(losses.total))
