@@ -137,3 +137,64 @@ def test_ring_matches_allgather_partition_on_packed_batch():
              jnp.asarray(plan.edge_mask))
     np.testing.assert_allclose(np.asarray(got).reshape(g.num_nodes, 8),
                                want, rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_gin_matches_single_device():
+    """The edge-partitioned GIN (ring halo + sync-BN inside shard_map)
+    equals the single-device GIN encoder on the union graph, with the
+    SAME variables, in both train and eval mode."""
+    from scgib_tpu.models.encoders import GIN
+    from scgib_tpu.parallel.partitioned_gin import PartitionedGIN
+
+    graphs = random_dataset(16, seed=21, min_nodes=8, max_nodes=30)
+    g = pack_graphs(graphs, 512, 2048, 16)
+    m = np.asarray(g.edge_mask)
+    s = np.asarray(g.senders)[m]
+    r = np.asarray(g.receivers)[m]
+    plan = partition_edges_ring(s, r, g.num_nodes, N_SHARDS)
+
+    rng = np.random.default_rng(2)
+    d = 16
+    x = jnp.asarray(rng.normal(size=(g.num_nodes, d)), jnp.float32)
+
+    single = GIN(hidden=d, num_convs=3)
+    variables = single.init(jax.random.PRNGKey(0), x, g.senders,
+                            g.receivers, node_mask=g.node_mask,
+                            edge_mask=g.edge_mask, train=False)
+
+    part = PartitionedGIN(hidden=d, num_convs=3, radius=plan.radius)
+    mesh = make_mesh(jax.devices()[:N_SHARDS])
+    per = plan.nodes_per_shard
+
+    for train in (False, True):
+        want, want_bs = single.apply(
+            variables, x, g.senders, g.receivers, node_mask=g.node_mask,
+            edge_mask=g.edge_mask, train=train, mutable=["batch_stats"])
+
+        def shard_fn(v, h_loc, sol, rl, em, nm):
+            out, bs = part.apply(
+                v, h_loc[0], sol[:, 0], rl[:, 0], em[:, 0],
+                node_mask=nm[0], train=train, mutable=["batch_stats"])
+            return out[None], bs
+
+        fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("data"), P(None, "data"), P(None, "data"),
+                      P(None, "data"), P("data")),
+            out_specs=(P("data"), P()), check_vma=False))
+        got, got_bs = fn(
+            variables, jnp.asarray(np.asarray(x).reshape(N_SHARDS, per, d)),
+            jnp.asarray(plan.senders_owner_local),
+            jnp.asarray(plan.receivers_local),
+            jnp.asarray(plan.edge_mask),
+            jnp.asarray(np.asarray(g.node_mask).reshape(N_SHARDS, per)))
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(g.num_nodes, d), np.asarray(want),
+            rtol=2e-5, atol=2e-5)
+        if train:
+            # sync-BN running stats must match the union-batch stats
+            for a, b in zip(
+                    jax.tree_util.tree_leaves(want_bs),
+                    jax.tree_util.tree_leaves(got_bs)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-5)
