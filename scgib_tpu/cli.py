@@ -391,10 +391,11 @@ def cmd_adapt(args):
     tx = adam_l2(args.lr, weight_decay=args.weight_decay)
     state = TrainState.create(variables, tx)
     step = make_domainadapt_step(model, tx)
-    state, info = run_domain_adaptation(step, state, ds, caps,
-                                        args.batch_size,
-                                        epochs=args.epochs,
-                                        patience=20, seed=args.seed)
+    state, info = run_domain_adaptation(
+        step, state, ds, caps, args.batch_size, epochs=args.epochs,
+        patience=20, seed=args.seed,
+        autosave_path=getattr(args, "autosave", None) or None,
+        autosave_every=getattr(args, "autosave_every", 1))
     out = args.out or "outputs/adapted.msgpack"
     ckpt.save_checkpoint(out, info["best_variables"],
                          config=_args_config(args))
@@ -507,6 +508,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("adapt", help="unsupervised domain adaptation")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)
+    sp.add_argument("--autosave", default=None,
+                    help="full-train-state autosave path")
+    sp.add_argument("--autosave_every", type=int, default=1)
     sp.set_defaults(fn=cmd_adapt)
 
     return p

@@ -285,15 +285,37 @@ def run_domain_adaptation(step_fn: Callable, state: TrainState,
                           ds: GraphDataset, caps: Capacities,
                           batch_size: int, epochs: int = 50,
                           patience: int = 20, seed: int = 40, rng=None,
-                          log: Optional[Callable[[str], None]] = print
+                          log: Optional[Callable[[str], None]] = print,
+                          autosave_path: Optional[str] = None,
+                          autosave_every: int = 1
                           ) -> Tuple[TrainState, Dict]:
     """Unsupervised adaptation epochs on the downstream dataset's graphs
-    (train_moleculenetBACE.py:17-52)."""
+    (train_moleculenetBACE.py:17-52).  ``autosave_path``: same
+    preemption-safe resume as run_pretraining.  The optimizer state and
+    loss trajectory resume bit-identically; pre-crash best-weight
+    SNAPSHOTS are not persisted, so after a resume
+    ``info['best_variables']`` falls back to the final state unless a
+    post-resume epoch improves on the restored best loss."""
     rng = jax.random.PRNGKey(seed) if rng is None else rng
     best = float("inf")
     best_vars = None
     bad = 0
-    for epoch in range(epochs):
+    start_epoch = 0
+
+    if autosave_path:
+        import os
+
+        from .checkpoint import load_train_state, save_train_state
+        if os.path.exists(autosave_path):
+            state, saved_epoch, rng, extra = load_train_state(
+                autosave_path, state)
+            start_epoch = saved_epoch + 1
+            best = float(extra.get("best_loss", best))
+            bad = int(extra.get("bad_epochs", bad))
+            if log:
+                log(f"resumed autosave at epoch {saved_epoch}")
+
+    for epoch in range(start_epoch, epochs):
         total, nb = 0.0, 0
         for g, sub in prefetch_to_device(
                 batch_iterator(ds, batch_size, caps, shuffle=True,
@@ -313,6 +335,9 @@ def run_domain_adaptation(step_fn: Callable, state: TrainState,
             bad += 1
             if bad >= patience:
                 break
+        if autosave_path and (epoch + 1) % max(autosave_every, 1) == 0:
+            save_train_state(autosave_path, state, epoch, rng,
+                             extra={"best_loss": best, "bad_epochs": bad})
     if best_vars is None:
         best_vars = _snapshot(state)
     return state, {"best_variables": best_vars, "best_loss": best}

@@ -121,3 +121,34 @@ def test_finetune_resume_matches_uninterrupted(tmp_path):
     assert res_a["best_val"] == res_c["best_val"]
     assert res_a["test_at_best_val"] == res_c["test_at_best_val"]
     assert res_a["best_epoch"] == res_c["best_epoch"]
+
+
+def test_adapt_resume_matches_uninterrupted(tmp_path):
+    from scgib_tpu.models.scgib import DomainAdaptModel
+    from scgib_tpu.train.loops import run_domain_adaptation
+    from scgib_tpu.train.trainer import make_domainadapt_step
+
+    ds, caps, _, _, _ = _setup()
+    g0, sub0 = next(batch_iterator(ds, BATCH, caps, shuffle=False))
+    model = DomainAdaptModel(in_dim=9, hidden=HID, d_transfer=DT)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g0, sub0, train=True)
+    tx = adam_l2(1e-3, weight_decay=1e-5)
+    step = make_domainadapt_step(model, tx, donate=False)
+    path = str(tmp_path / "adapt.msgpack")
+
+    state_a, info_a = run_domain_adaptation(
+        step, TrainState.create(variables, tx), ds, caps, BATCH,
+        epochs=4, seed=17, log=None)
+    run_domain_adaptation(
+        step, TrainState.create(variables, tx), ds, caps, BATCH,
+        epochs=2, seed=17, log=None, autosave_path=path)
+    state_c, info_c = run_domain_adaptation(
+        step, TrainState.create(variables, tx), ds, caps, BATCH,
+        epochs=4, seed=17, log=None, autosave_path=path)
+
+    for a, c in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert info_a["best_loss"] == info_c["best_loss"]
