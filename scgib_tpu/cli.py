@@ -8,6 +8,8 @@ Subcommands:
   finetune      supervised fine-tune on a downstream dataset with
                 test-at-best-val selection (exp_moleculenetBACE_BBBP.py)
   adapt         unsupervised domain adaptation (run_domain_adaptation)
+  eval          standalone evaluation of a saved fine-tuned checkpoint
+                (the reference's evaluate_network as a command)
   preprocess    build the packed .npz dataset cache (k-hop ego-nets)
                 from a raw edge-list/feature dump or synthetic data
 
@@ -362,7 +364,96 @@ def cmd_finetune(args):
     print(f"RESULT {args.dataset}: {spec.metric} "
           f"test@best-val = {mean:.5f} +- {std:.5f} "
           f"over {repeats} run(s)")
+    if args.out:
+        # the reference never persists the fine-tuned module — it only
+        # reports the selected test metric; saving it (last repeat's
+        # final weights + the selection bookkeeping) makes `cli eval`
+        # possible
+        ckpt.save_checkpoint(args.out, result["state"].variables,
+                             config=dict(_args_config(args),
+                                         best_epoch=result["best_epoch"],
+                                         best_val=result["best_val"]),
+                             step=result["best_epoch"])
+        print(f"saved fine-tuned model to {args.out}")
+    if getattr(args, "xlsx", None):
+        # Mean / Variant / Best_epoch cells, the reference's Excel layout
+        # (script_classification.py:57-68, exp_pcqm4mv2.py:167-169)
+        from .utils.results import update_evaluation_value
+
+        path = update_evaluation_value(args.xlsx, args.dataset, "Mean",
+                                       mean)
+        update_evaluation_value(args.xlsx, args.dataset, "Variant", std)
+        update_evaluation_value(args.xlsx, args.dataset, "Best_epoch",
+                                result["best_epoch"])
+        print(f"recorded results in {path}")
+    if getattr(args, "journal", None):
+        from .utils.results import append_result
+
+        append_result(args.journal,
+                      {"dataset": args.dataset, "metric": spec.metric,
+                       "mean": mean, "std": std, "runs": values,
+                       "best_epoch": result["best_epoch"],
+                       "config": _args_config(args)})
     return {"mean": mean, "std": std, "runs": values, "last": result}
+
+
+def cmd_eval(args):
+    """Standalone evaluation of a saved fine-tuned checkpoint — the
+    reference's ``evaluate_network`` (train_moleculenetBACE.py:180-199)
+    as a first-class command instead of a loop-internal helper."""
+    from .config import DATASETS, reference_split
+    from .data.loader import plan_capacities
+    from .models.scgib import FinetuneModel
+    from .train import checkpoint as ckpt
+    from .train.loops import evaluate
+    from .train.trainer import make_eval_fn
+
+    spec = DATASETS.get(args.dataset)
+    if spec is None:
+        raise SystemExit(f"unknown dataset {args.dataset!r}; "
+                         f"known: {sorted(DATASETS)}")
+    variables, meta = ckpt.load_checkpoint(args.checkpoint)
+    cfg = (meta or {}).get("config", {})
+
+    def pick(name):
+        v = cfg.get(name)
+        return getattr(args, name) if v is None else v
+
+    ds = _build_dataset(args, num_tasks=spec.num_tasks,
+                        feat_dim=spec.feat_dim)
+    caps = plan_capacities(ds, args.batch_size)
+    feat_dim = ds.graphs[0].node_feat.shape[1]
+    model = FinetuneModel(in_dim=feat_dim, num_out=spec.num_tasks,
+                          regression=spec.regression_head,
+                          hidden=int(pick("hidden")),
+                          d_transfer=int(pick("d_transfer")),
+                          encoder=pick("encoder"),
+                          num_layers=int(pick("num_layers")),
+                          num_heads=int(pick("num_heads")),
+                          readout=pick("readout"),
+                          use_att=bool(int(pick("use_att"))))
+    eval_fn = make_eval_fn(model)
+
+    if args.split == "full":
+        splits = {"full": ds}
+    else:
+        # the exact split the finetune driver used: shuffle with the
+        # run's seed, then the reference's hardcoded prefix slices
+        order = np.random.default_rng(int(pick("seed"))).permutation(
+            len(ds))
+        tr, va, te = reference_split(len(ds), spec)
+        table = {"train": ds.subset(order[list(tr)]),
+                 "val": ds.subset(order[list(va)]),
+                 "test": ds.subset(order[list(te)])}
+        splits = table if args.split == "all" else \
+            {args.split: table[args.split]}
+    out = {}
+    for name, d in splits.items():
+        out[name] = evaluate(eval_fn, variables, d, caps,
+                             args.batch_size, spec)
+        print(f"EVAL {args.dataset} {name}: "
+              f"{spec.metric} = {out[name]:.5f} ({len(d)} graphs)")
+    return out
 
 
 def cmd_adapt(args):
@@ -504,7 +595,23 @@ def build_parser() -> argparse.ArgumentParser:
                     help="directory holding raw TUDataset text files")
     sp.add_argument("--freeze_mode", default="reference",
                     choices=["reference", "paper", "all", "frozen"])
+    sp.add_argument("--xlsx", default=None,
+                    help="record Mean/Variant/Best_epoch in this Excel "
+                         "sheet (reference outputs_excels.xlsx behavior)")
+    sp.add_argument("--journal", default=None,
+                    help="append a JSON result record to this JSONL file")
     sp.set_defaults(fn=cmd_finetune)
+
+    sp = sub.add_parser("eval", help="evaluate a saved fine-tuned "
+                                     "checkpoint on a dataset split")
+    common(sp, lr=1e-3, wd=1e-5, epochs=0)
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--tudataset_root", default=None)
+    sp.add_argument("--checkpoint", required=True,
+                    help="fine-tuned .msgpack from `finetune --out`")
+    sp.add_argument("--split", default="test",
+                    choices=["train", "val", "test", "all", "full"])
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("adapt", help="unsupervised domain adaptation")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)
