@@ -61,9 +61,17 @@ class GraphDataset:
         exp_pcqm4mv2.py:437-441) for the logM reconstruction loss."""
         cache = getattr(self, "_logms", None)
         if cache is None or cache[0] != k:
-            from ..graph.transition import transition_logm
+            if len(self.graphs) >= 32:
+                # batched device kernel: one [chunk, N, N] matmul chain
+                # on the accelerator instead of per-graph NumPy powers
+                from ..graph.transition import transition_logm_batched
 
-            cache = (k, [transition_logm(g, k) for g in self.graphs])
+                cache = (k, transition_logm_batched(self.graphs, k))
+            else:
+                from ..graph.transition import transition_logm
+
+                cache = (k, [transition_logm(g, k)
+                             for g in self.graphs])
             self._logms = cache
         return cache[1]
 

@@ -91,3 +91,28 @@ def test_transition_logm_properties():
                                    1.0 / (n * n))
         off += n
     assert np.all(W[n_total:, :] == 0)
+
+
+def test_transition_logm_batched_parity():
+    """Device-batched logM (one MXU matmul chain per chunk) must match the
+    per-graph NumPy reference path exactly within f32."""
+    from scgib_tpu.graph.transition import transition_logm_batched
+
+    graphs = random_dataset(50, seed=11)
+    k = 3
+    ref = [transition_logm(g, k) for g in graphs]
+    got = transition_logm_batched(graphs, k, chunk=16)
+    assert len(got) == len(graphs)
+    for r, b, g in zip(ref, got, graphs):
+        assert len(b) == k
+        for i in range(k):
+            assert b[i].shape == (g.num_nodes, g.num_nodes)
+            np.testing.assert_allclose(b[i], r[i], rtol=1e-5, atol=1e-5)
+
+
+def test_dataset_logms_uses_batched_path():
+    dsl = GraphDataset(random_dataset(40, seed=12), k=1)
+    lms = dsl.logms(2)
+    ref = [transition_logm(g, 2) for g in dsl.graphs]
+    for got, want in zip(lms, ref):
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-5)
