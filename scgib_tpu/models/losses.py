@@ -80,6 +80,36 @@ def contrastive_infonce(z1: jnp.ndarray, z2: jnp.ndarray,
     return total / jnp.maximum(count, 1.0)
 
 
+def contrastive_infonce_replicated(z1: jnp.ndarray, z2: jnp.ndarray,
+                                   graph_mask: jnp.ndarray,
+                                   own_mask: jnp.ndarray,
+                                   axis_name: str,
+                                   tau: float = 1.0) -> jnp.ndarray:
+    """InfoNCE for the node-sharded path: readouts z1/z2 are GLOBAL
+    [G_total, d] arrays already replicated on every shard (psum'd segment
+    sums), and each shard contributes only the loss terms of the graphs it
+    OWNS (``own_mask``, a disjoint cover of the real graphs).
+
+    Same math as ``contrastive_infonce`` (models.py:611-629); the
+    local-numerator / global-count convention keeps psum-after-grad exact
+    (see the note in ``contrastive_infonce``).
+    """
+    m = graph_mask.astype(z1.dtype)
+    o = (own_mask & graph_mask).astype(z1.dtype)
+    z1n = l2_normalize(z1)
+    z2n = l2_normalize(z2)
+    refl = jnp.exp(z1n @ z1n.T / tau)
+    betw = jnp.exp(z1n @ z2n.T / tau)
+    refl_sum = refl @ m
+    betw_sum = betw @ m
+    diag = jnp.arange(z1.shape[0])
+    denom = refl_sum + betw_sum - refl[diag, diag]
+    loss_i = -jnp.log(betw[diag, diag] / jnp.maximum(denom, 1e-30))
+    total = jnp.sum(loss_i * o)
+    count = jax.lax.psum(jnp.sum(o), axis_name)
+    return total / jnp.maximum(count, 1.0)
+
+
 def kl_loss(kl_node: jnp.ndarray,
             node_graph: jnp.ndarray,
             node_mask: jnp.ndarray,

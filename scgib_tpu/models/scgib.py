@@ -312,6 +312,17 @@ class PretrainModel(nn.Module):
                                       # the global batch (SURVEY.md §7.3)
 
     def setup(self):
+        if self.kl_mode == "reference" and self.axis_name is not None:
+            # under DP each shard would pick its own "last graph"
+            # (losses.kl_loss note) — bit-parity mode and data parallelism
+            # are mutually exclusive.  The node-sharded path
+            # (parallel/sharded_scgib.py) DOES support 'reference' exactly.
+            raise ValueError(
+                "kl_mode='reference' is not data-parallel safe: the "
+                "last-graph bug (models.py:659) has no per-shard analog. "
+                "Use kl_mode='corrected' with axis_name, or the "
+                "node-sharded ShardedPretrainModel which reproduces "
+                "'reference' exactly.")
         self.transfer_d = nn.Dense(self.d_transfer, use_bias=False,
                                    name="transfer_d")
         self.core = SCGIBCore(hidden=self.hidden, encoder=self.encoder,

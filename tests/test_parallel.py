@@ -165,3 +165,71 @@ def test_dp_state_replicated(setup):
     state, losses = dp_step(state, stack_batches(shard_gs),
                             stack_batches(shard_subs), rngs)
     assert np.isfinite(float(losses.total))
+
+
+def _empty_like_batch(b):
+    """Zero all validity masks: a shard carrying only padding."""
+    import dataclasses
+
+    kw = {}
+    for f in ("node_mask", "edge_mask", "graph_mask"):
+        kw[f] = jnp.zeros_like(getattr(b, f))
+    return b.replace(**kw)
+
+
+def _empty_like_sub(s):
+    kw = {"node_mask": jnp.zeros_like(s.node_mask),
+          "edge_mask": jnp.zeros_like(s.edge_mask)}
+    return s.replace(**kw)
+
+
+def test_dp_uneven_shards_with_empty_shard(setup):
+    """A shard whose batch is ALL padding (no real graphs/nodes) must not
+    perturb the global losses: DP over 7 real shards + 1 empty shard ==
+    single device over the 7-shard union (VERDICT round-1 item 8)."""
+    (shard_gs, shard_subs, _, _, model_single, model_dp, variables) = setup
+
+    real = N_DEV - 1
+    graphs = random_dataset(real * GRAPHS_PER_SHARD, seed=7, min_nodes=5,
+                            max_nodes=9, feat_dim=FEAT)
+    egos = [extract_egonets(g, 1) for g in graphs]
+    union_g = pack_graphs(graphs, N_DEV * NODE_CAP, N_DEV * EDGE_CAP,
+                          N_DEV * GRAPHS_PER_SHARD)
+    union_sub = pack_subgraphs(graphs, egos, N_DEV * SUB_NODE_CAP,
+                               N_DEV * SUB_EDGE_CAP)
+
+    sgs = list(shard_gs[:real]) + [_empty_like_batch(shard_gs[real])]
+    ssubs = list(shard_subs[:real]) + [_empty_like_sub(shard_subs[real])]
+
+    tx = adam_l2(1e-4, weight_decay=5e-5)
+    mesh = make_mesh(jax.devices()[:N_DEV])
+    state0 = TrainState.create(variables, tx)
+    single_step = make_pretrain_step(model_single, tx, donate=False)
+    _, losses1 = single_step(state0, union_g, union_sub,
+                             jax.random.PRNGKey(3))
+
+    dp_step = make_dp_pretrain_step(model_dp, tx, mesh, donate=False)
+    rngs = jnp.stack([jax.random.PRNGKey(3)] * N_DEV)
+    _, losses8 = dp_step(TrainState.create(variables, tx),
+                         stack_batches(sgs), stack_batches(ssubs), rngs)
+    np.testing.assert_allclose(float(losses8.kl), float(losses1.kl),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(losses8.contrastive),
+                               float(losses1.contrastive),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(losses8.reconstruction),
+                               float(losses1.reconstruction),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_kl_reference_mode_rejected_under_dp(setup):
+    """kl_mode='reference' + axis_name must error, not silently diverge
+    per shard (VERDICT round-1 item 8)."""
+    (shard_gs, shard_subs, *_rest) = setup
+    bad = PretrainModel(in_dim=FEAT, hidden=HID, d_transfer=DT,
+                        deterministic=True, kl_mode="reference",
+                        axis_name=DATA_AXIS)
+    with pytest.raises(ValueError, match="reference"):
+        bad.init({"params": jax.random.PRNGKey(0),
+                  "noise": jax.random.PRNGKey(1)},
+                 shard_gs[0], shard_subs[0], train=True)
