@@ -62,6 +62,15 @@ _GROUP = {"B": 13, "Al": 13, "Ga": 13, "In": 13, "Tl": 13,
           "O": 16, "S": 16, "Se": 16, "Te": 16, "Po": 16,
           "F": 17, "Cl": 17, "Br": 17, "I": 17, "At": 17}
 
+# valence (outer-shell) electron counts for the steric-number
+# hybridization rule; main-group only (group 1/2 + 13..18), matching
+# RDKit's PeriodicTable::getNouterElecs for the elements that occur in
+# molecular datasets
+_OUTER_ELECTRONS = {"H": 1, "Li": 1, "Na": 1, "K": 1, "Rb": 1, "Cs": 1,
+                    "Be": 2, "Mg": 2, "Ca": 2, "Sr": 2, "Ba": 2}
+_OUTER_ELECTRONS.update({s: g - 10 for s, g in _GROUP.items()})
+_OUTER_ELECTRONS.update({"He": 8, "Ne": 8, "Ar": 8, "Kr": 8, "Xe": 8})
+
 _ORGANIC_SUBSET = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I"}
 _AROMATIC_ORGANIC = {"b", "c", "n", "o", "p", "s"}
 # aromatic symbols legal inside brackets
@@ -358,6 +367,7 @@ def _finalize(mol: Molecule) -> None:
     heavy_deg = [0] * mol.num_atoms
     n_double = [0] * mol.num_atoms
     n_triple = [0] * mol.num_atoms
+    n_arom = [0] * mol.num_atoms
     for b in mol.bonds:
         for x in (b.a, b.b):
             order_sum[x] += b.order
@@ -368,6 +378,9 @@ def _finalize(mol: Molecule) -> None:
         elif b.order >= 3.0:
             n_triple[b.a] += 1
             n_triple[b.b] += 1
+        elif b.order == 1.5:
+            n_arom[b.a] += 1
+            n_arom[b.b] += 1
 
     _mark_rings(mol)
 
@@ -379,12 +392,31 @@ def _finalize(mol: Molecule) -> None:
         if a.explicit_h is not None:
             a.num_h = a.explicit_h
             valences = _charge_adjusted_valences(a.symbol, a.charge)
-            used = bond_sum + a.num_h
-            a.radical = 0
-            for v in valences:
-                if used <= v:
-                    a.radical = v - used
+            # An aromatic atom may be a kekule pi participant (one double
+            # bond: bond contribution floor(1.5k)) OR a lone-pair donor
+            # like pyrrole [nH] / furan o (sigma bonds only: k).  RDKit's
+            # sanitizer picks the assignment with zero radicals — try the
+            # pi form first, then the sigma-only form.
+            sums = [bond_sum]
+            if n_arom[i]:
+                sums.append(bond_sum - (int(np.floor(1.5 * n_arom[i]
+                                                     + 1e-6)) - n_arom[i]))
+            a.radical = None
+            for bs in sums:
+                used = bs + a.num_h
+                for v in valences:
+                    if used == v:
+                        a.radical = 0
+                        break
+                if a.radical == 0:
                     break
+            if a.radical is None:
+                a.radical = 0
+                used = bond_sum + a.num_h
+                for v in valences:
+                    if used <= v:
+                        a.radical = v - used
+                        break
             # electron-pair parity: a gap of 2 is a lone pair, not 2
             # radicals ([CH2] -> carbene: RDKit reports 2, keep that)
         elif a.symbol in _DEFAULT_VALENCES and not a.charge:
@@ -406,19 +438,28 @@ def _finalize(mol: Molecule) -> None:
         a.degree_heavy = heavy_deg[i]
         a.degree_total = heavy_deg[i] + a.num_h
 
-        # structural hybridization (see module docstring for caveats)
-        if a.degree_total == 0:
-            a.hybridization = "S"
-        elif a.degree_total > 5 or order_sum[i] > 5.5:
-            a.hybridization = "SP3D2"
-        elif a.degree_total > 4 or order_sum[i] > 4.5:
-            a.hybridization = "SP3D"
-        elif n_triple[i] or n_double[i] >= 2:
-            a.hybridization = "SP"
-        elif a.aromatic or n_double[i]:
+        # hybridization by RDKit's steric-number rule (Atom.cpp
+        # calcHybridization): steric = sigma-degree (incl. H) + lone
+        # pairs, with lone pairs = (outer_electrons - charge - total
+        # valence - radicals) / 2; aromatic atoms are SP2 outright.
+        # The previous double/triple-bond heuristic diverged from RDKit
+        # on hypervalent centers (sulfone S: SP3, not SP; phosphate P:
+        # SP3) — exactly the chemistry in BACE/Tox21 molecules.
+        if a.aromatic:
             a.hybridization = "SP2"
+        elif a.degree_total == 0:
+            a.hybridization = "S"
         else:
-            a.hybridization = "SP3"
+            outer = _OUTER_ELECTRONS.get(a.symbol)
+            if outer is None:
+                a.hybridization = "UNSPECIFIED"
+            else:
+                valence = bond_sum + a.num_h
+                lp = max(outer - a.charge - valence - a.radical, 0) // 2
+                steric = a.degree_total + lp
+                a.hybridization = {
+                    0: "S", 1: "S", 2: "SP", 3: "SP2", 4: "SP3",
+                    5: "SP3D", 6: "SP3D2"}.get(steric, "OTHER")
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,18 @@ def stack_batches(batches: Sequence[Any]) -> Any:
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
 
 
+def stack_batches_host(batches: Sequence[Any]) -> Any:
+    """Stack host-resident (NumPy) pytrees on the HOST, producing one
+    contiguous array per leaf — so the subsequent device transfer is one
+    put per leaf instead of one per (leaf, batch).  Over a tunneled/
+    remote accelerator the per-transfer latency dominates: K=16
+    superbatches measured ~5x faster to ship this way than via
+    ``stack_batches`` (bench.py sustained path)."""
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+    return jax.device_put(stacked)
+
+
 def shard_batch(mesh: Mesh, stacked: Any) -> Any:
     """Device_put a stacked batch with its leading axis over the mesh."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))

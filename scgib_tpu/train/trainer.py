@@ -139,7 +139,9 @@ def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
 
 
 def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
-                                  donate: bool = True) -> Callable:
+                                  donate: bool = True,
+                                  wire: bool = False,
+                                  byte_specs=None) -> Callable:
     """One optimizer step per batch, scanned over a SUPERBATCH — stacked
     (GraphBatch, SubgraphBatch) pytrees with a leading [K] axis.
 
@@ -149,7 +151,18 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
     tunneled/remote accelerator (measured 19 ms/batch single-step vs
     ~5 ms/batch with K=16 on v5e over axon).  Unlike
     ``make_pretrain_scan_step``, every inner step sees FRESH data, so this
-    is the production epoch loop, not just a throughput probe."""
+    is the production epoch loop, not just a throughput probe.
+
+    ``wire=True``: batches arrive in the compact wire format
+    (graph/wire.py — int16 indices, count-scalars instead of masks, int8
+    categorical features) and are reconstituted on device inside the
+    scan body; measured ~2.6x less host->device traffic per batch.
+
+    ``byte_specs=(g_spec, sub_spec)``: the stacked wire pytrees arrive
+    as TWO single uint8 buffers (wire.pack_bytes) — one device transfer
+    each instead of one per leaf, which removes the per-put round-trip
+    latency that dominates on remote links.  Implies ``wire`` handling
+    of the unpacked leaves."""
 
     def loss_fn(params, batch_stats, g, sub, rng):
         losses, mutated = model.apply(
@@ -159,9 +172,20 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
         return losses.total, (losses, mutated["batch_stats"])
 
     def step(state: TrainState, gs, subs, rng):
+        if byte_specs is not None:
+            from ..graph.wire import unpack_bytes
+
+            gs = unpack_bytes(gs, byte_specs[0])
+            subs = unpack_bytes(subs, byte_specs[1])
+
         def body(carry, batch):
             st, i = carry
             g, sub = batch
+            if wire or byte_specs is not None:
+                from ..graph.wire import from_wire_graph, from_wire_sub
+
+                g = from_wire_graph(g)
+                sub = from_wire_sub(sub)
             k = jax.random.fold_in(rng, i)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (_, (losses, new_bs)), grads = grad_fn(

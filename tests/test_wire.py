@@ -1,0 +1,113 @@
+"""Compact wire format: lossless roundtrip + training-path equivalence.
+
+graph/wire.py compresses packed batches for host->device transfer (int16
+indices, count scalars instead of masks, int8 categorical features, and
+a single-buffer byte transport).  Everything must reconstruct EXACTLY —
+the wire path is a transport optimization, never a numerics change.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.graph.batching import pack_graphs, pack_subgraphs
+from scgib_tpu.graph.egonet import extract_egonets
+from scgib_tpu.graph.wire import (byte_spec_of, from_wire_graph,
+                                  from_wire_sub, pack_bytes, to_wire_graph,
+                                  to_wire_sub, unpack_bytes)
+from scgib_tpu.models.scgib import PretrainModel
+from scgib_tpu.train.trainer import (TrainState, adam_l2,
+                                     make_pretrain_superbatch_step)
+
+
+def _batch(n_graphs=8, seed=0, labels=False):
+    graphs = random_dataset(n_graphs, seed=seed, min_nodes=6, max_nodes=12,
+                            feat_dim=9, num_tasks=3 if labels else None,
+                            label_nan_frac=0.2 if labels else 0.0)
+    egos = [extract_egonets(g, 1) for g in graphs]
+    g = pack_graphs(graphs, 128, 512, n_graphs)
+    sub = pack_subgraphs(graphs, egos, 512, 2048)
+    return g, sub
+
+
+def _assert_tree_equal(a, b):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_wire_roundtrip_exact():
+    g, sub = _batch(labels=True)
+    g2 = jax.jit(from_wire_graph)(jax.device_put(to_wire_graph(g)))
+    sub2 = jax.jit(from_wire_sub)(jax.device_put(to_wire_sub(sub)))
+    _assert_tree_equal(g2, g)
+    # sub roundtrip: node_feat stays None on both sides
+    assert sub2.node_feat is None and sub.node_feat is None
+    _assert_tree_equal(
+        (sub2.node_center, sub2.node_orig, sub2.node_mask, sub2.senders,
+         sub2.receivers, sub2.edge_mask),
+        (sub.node_center, sub.node_orig, sub.node_mask, sub.senders,
+         sub.receivers, sub.edge_mask))
+
+
+def test_wire_feature_compression_is_exact_or_skipped():
+    """Integral features ship int8; non-integral stay float32."""
+    g, _ = _batch()
+    w = to_wire_graph(g)
+    assert np.asarray(w.node_feat).dtype == np.int8   # synthetic ints
+    g_f = g.replace(node_feat=g.node_feat + 0.5)
+    w_f = to_wire_graph(g_f)
+    assert np.asarray(w_f.node_feat).dtype == np.float32
+
+
+def test_byte_transport_roundtrip():
+    g, sub = _batch(seed=3)
+    wires = (to_wire_graph(g), to_wire_sub(sub))
+    spec = byte_spec_of(wires)
+    buf = pack_bytes(wires, spec)
+    assert buf.dtype == np.uint8
+    out = jax.jit(lambda b: unpack_bytes(b, spec))(buf)
+    _assert_tree_equal(out, wires)
+
+
+def test_wire_superbatch_step_matches_plain():
+    """The byte-transport superbatch step produces EXACTLY the same losses
+    and parameters as the plain superbatch step on the same batches."""
+    K = 4
+    batches = [_batch(seed=s) for s in range(K)]
+    model = PretrainModel(in_dim=9, hidden=16, d_transfer=8,
+                          deterministic=True)
+    g0, sub0 = batches[0]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g0, sub0, train=True)
+    tx = adam_l2(1e-3)
+
+    stack = lambda xs: jax.tree_util.tree_map(
+        lambda *ls: np.stack([np.asarray(l) for l in ls]), *xs)
+    gs = stack([b[0] for b in batches])
+    subs = stack([b[1] for b in batches])
+    plain = make_pretrain_superbatch_step(model, tx, donate=False)
+    st_a, losses_a = plain(TrainState.create(variables, tx), gs, subs,
+                           jax.random.PRNGKey(9))
+
+    wires = [(to_wire_graph(b[0]), to_wire_sub(b[1])) for b in batches]
+    wgs = stack([w[0] for w in wires])
+    wsubs = stack([w[1] for w in wires])
+    g_spec = byte_spec_of(wgs)
+    s_spec = byte_spec_of(wsubs)
+    bstep = make_pretrain_superbatch_step(model, tx, donate=False,
+                                          byte_specs=(g_spec, s_spec))
+    st_b, losses_b = bstep(TrainState.create(variables, tx),
+                           pack_bytes(wgs, g_spec),
+                           pack_bytes(wsubs, s_spec),
+                           jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(np.asarray(losses_a.total),
+                               np.asarray(losses_b.total), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
