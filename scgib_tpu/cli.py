@@ -298,6 +298,23 @@ def cmd_finetune(args):
     val_ds = ds.subset(order[list(va_idx)])
     test_ds = ds.subset(order[list(te_idx)])
 
+    pre_vars = None
+    pre_meta = None
+    if args.pretrained and os.path.exists(args.pretrained) and \
+            args.pretrained.endswith(".pt"):
+        # import the reference torch pickle FIRST: the shipped artifact
+        # has 5 conv layers although the released GIN class builds 4
+        # (reference_import.py) — the model depth must match it
+        from .utils.reference_import import (
+            convert_to_pretrain_variables, load_reference_state)
+
+        flat = load_reference_state(args.pretrained)
+        pre_vars, pre_meta = convert_to_pretrain_variables(flat)
+        if pre_meta["num_convs"] != args.num_layers:
+            print(f"imported checkpoint has {pre_meta['num_convs']} conv "
+                  f"layers; overriding --num_layers {args.num_layers}")
+            args.num_layers = pre_meta["num_convs"]
+
     feat_dim = ds.graphs[0].node_feat.shape[1]
     model = FinetuneModel(in_dim=feat_dim, num_out=spec.num_tasks,
                           regression=spec.regression_head,
@@ -311,17 +328,11 @@ def cmd_finetune(args):
          "noise": jax.random.PRNGKey(args.seed + 1)},
         g0, sub0, train=True)
 
-    pre_vars = None
     if args.pretrained and os.path.exists(args.pretrained):
-        if args.pretrained.endswith(".pt"):
-            from .utils.reference_import import (
-                convert_to_pretrain_variables, load_reference_state)
-
-            flat = load_reference_state(args.pretrained)
-            pre_vars, meta = convert_to_pretrain_variables(flat)
+        if pre_vars is not None:
             print(f"imported reference checkpoint "
-                  f"(core depth {meta['core_depth']}, "
-                  f"{meta['num_convs']} convs)")
+                  f"(core depth {pre_meta['core_depth']}, "
+                  f"{pre_meta['num_convs']} convs)")
         else:
             pre_vars, _ = ckpt.load_checkpoint(args.pretrained)
         variables = ckpt.load_core_into(variables, pre_vars)
@@ -467,6 +478,24 @@ def cmd_adapt(args):
 
     ds = _build_dataset(args)
     caps = plan_capacities(ds, args.batch_size)
+    pre_vars = None
+    if args.pretrained and os.path.exists(args.pretrained):
+        if args.pretrained.endswith(".pt"):
+            # the reference runs adaptation straight from its torch
+            # pickle (exp_*BACE_BBBP.py:120-130); import it in-process
+            # and adopt the artifact's conv depth (5 in the shipped one)
+            from .utils.reference_import import (
+                convert_to_pretrain_variables, load_reference_state)
+
+            pre_vars, pre_meta = convert_to_pretrain_variables(
+                load_reference_state(args.pretrained))
+            if pre_meta["num_convs"] != args.num_layers:
+                print(f"imported checkpoint has {pre_meta['num_convs']} "
+                      f"conv layers; overriding --num_layers "
+                      f"{args.num_layers}")
+                args.num_layers = pre_meta["num_convs"]
+        else:
+            pre_vars, _ = ckpt.load_checkpoint(args.pretrained)
     feat_dim = ds.graphs[0].node_feat.shape[1]
     model = DomainAdaptModel(in_dim=feat_dim, **_common_model_kwargs(args))
     g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
@@ -475,8 +504,7 @@ def cmd_adapt(args):
         {"params": jax.random.PRNGKey(args.seed),
          "noise": jax.random.PRNGKey(args.seed + 1)},
         g0, sub0, train=True)
-    if args.pretrained and os.path.exists(args.pretrained):
-        pre_vars, _ = ckpt.load_checkpoint(args.pretrained)
+    if pre_vars is not None:
         variables = ckpt.load_core_into(variables, pre_vars)
 
     tx = adam_l2(args.lr, weight_decay=args.weight_decay)
@@ -615,6 +643,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("adapt", help="unsupervised domain adaptation")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)
+    sp.add_argument("--dataset", default=None,
+                    help="dataset name for --molnet_root/--tudataset_root")
+    sp.add_argument("--tudataset_root", default=None)
     sp.add_argument("--autosave", default=None,
                     help="full-train-state autosave path")
     sp.add_argument("--autosave_every", type=int, default=1)

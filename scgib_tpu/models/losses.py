@@ -232,13 +232,31 @@ def recon_logm_loss(interaction_map: jnp.ndarray,
     return jnp.sum(per_k) / float(k_transition)
 
 
+def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
+    """log(x) with torch's BCELoss clamp at -100 AND a NaN-free gradient.
+
+    ``maximum(log(x), -100)`` is NOT safe: its VJP multiplies the branch
+    selector (0) by the inner gradient (1/x = inf at x=0), and 0 * inf
+    is NaN.  The double-where evaluates log only on a safe input, so the
+    clamped region gets value -100 and gradient exactly 0 — the same as
+    torch's clamp backward."""
+    zero = x <= 0.0
+    return jnp.where(zero, -100.0, jnp.log(jnp.where(zero, 1.0, x)))
+
+
 def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray,
-             mask: Optional[jnp.ndarray] = None,
-             eps: float = 1e-12) -> jnp.ndarray:
+             mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """``nn.BCELoss`` over probabilities (models.py:522-525), NaN-masked
-    multi-task support a la MetricWrapper 'ignore-flatten'."""
-    p = jnp.clip(probs, eps, 1.0 - eps)
-    ll = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+    multi-task support a la MetricWrapper 'ignore-flatten'.
+
+    torch clamps the LOG outputs at -100 (not the probabilities): in
+    float32 a saturated sigmoid returns exactly 1.0, where clipping p to
+    1-1e-12 is a no-op (rounds back to 1.0) and log(1-p) = -inf turns
+    0 * -inf into NaN.  The log-clamp keeps both the value and the
+    gradient finite, matching torch bit-for-bit at saturation."""
+    targets = jnp.where(jnp.isnan(targets), 0.0, targets)  # masked anyway
+    ll = -(targets * _safe_log(probs)
+           + (1.0 - targets) * _safe_log(1.0 - probs))
     if mask is None:
         return jnp.mean(ll)
     m = mask.astype(ll.dtype)

@@ -107,9 +107,15 @@ def segment_softmax(logits: jnp.ndarray,
     seg_max = segment_max(logits, segment_ids, num_segments, mask,
                           indices_are_sorted)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    if mask is not None:
+        # mask BEFORE exp: padded rows carry logit 0 under segment id 0,
+        # so when the real logits are very negative, 0 - seg_max is a
+        # large positive shift and exp overflows to inf — then the
+        # post-exp mask multiply turns inf * 0 into NaN.  exp(-inf) = 0
+        # keeps value and gradient clean.
+        logits = jnp.where(mask, logits, -jnp.inf)
     shifted = logits - seg_max[segment_ids]
     e = jnp.exp(shifted)
-    e = _apply_mask(e, mask)
     denom = segment_sum(e, segment_ids, num_segments, None,
                         indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)

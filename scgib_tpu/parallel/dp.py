@@ -177,9 +177,13 @@ def make_dp_finetune_step(model, tx: optax.GradientTransformation,
 
 
 def bce_sum_count(scores, labels, mask):
-    """(sum, count) form of BCE for make_dp_finetune_step."""
-    eps = 1e-12
-    p = jnp.clip(scores, eps, 1.0 - eps)
-    ll = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
+    """(sum, count) form of BCE for make_dp_finetune_step.  Log outputs
+    clamped at -100 like torch nn.BCELoss (see losses.bce_loss: clipping
+    p is a float32 no-op at sigmoid saturation and yields 0 * -inf)."""
+    from ..models.losses import _safe_log
+
+    labels = jnp.where(jnp.isnan(labels), 0.0, labels)
+    ll = -(labels * _safe_log(scores)
+           + (1.0 - labels) * _safe_log(1.0 - scores))
     m = mask.astype(ll.dtype)
     return jnp.sum(ll * m), jnp.sum(m)

@@ -86,10 +86,12 @@ def gseg_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     # the max shift is a per-segment constant: stopping its gradient is
     # exact for softmax and avoids differentiating through lax.pmax
+    if mask is not None:
+        # mask BEFORE exp (see ops.segment.segment_softmax): padded rows
+        # would otherwise overflow exp and poison the sum with inf * 0
+        logits = jnp.where(mask, logits, -jnp.inf)
     shifted = logits - seg_max[segment_ids]
     e = jnp.exp(shifted)
-    if mask is not None:
-        e = e * mask.astype(e.dtype)
     denom = gseg_sum(e, segment_ids, num_segments, axis_name)
     denom = jnp.maximum(denom, 1e-16)
     return e / denom[segment_ids]

@@ -138,3 +138,46 @@ def test_logm_mode_trains_from_batch_targets():
     step = make_pretrain_step(model, tx, donate=False)
     state, losses = step(state, g, sub, jax.random.PRNGKey(3))
     assert np.isfinite(float(losses.total))
+
+
+def test_bce_grad_finite_at_sigmoid_saturation():
+    """f32 sigmoid saturates to exactly 1.0; torch clamps BCE's log
+    outputs at -100 with zero gradient in the clamped region.  Both the
+    old clip-the-probability form (log(0) -> 0 * -inf) and a naive
+    maximum(log(p), -100) (VJP: 0 * inf) produce NaN there."""
+    from scgib_tpu.models.losses import bce_loss
+
+    probs = jnp.asarray([1.0, 0.0, 0.5, 1.0])
+    targets = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+
+    def f(p):
+        return bce_loss(p, targets)
+
+    val, grad = jax.value_and_grad(f)(probs)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all(), np.asarray(grad)
+    # the saturated-wrong case (p=1, y=0) contributes the -100 clamp
+    assert float(val) >= 20.0
+
+
+def test_segment_softmax_masked_rows_no_overflow():
+    """Padded rows carry logit 0 under segment id 0; when the segment's
+    real logits are very negative the unmasked exp(0 - seg_max)
+    overflows to inf and inf * mask(0) = NaN.  Masked rows must be -inf
+    BEFORE the exp (value and grad both finite)."""
+    from scgib_tpu.ops.segment import segment_softmax
+
+    logits = jnp.asarray([-200.0, -201.0, 0.0, 0.0])   # last two padded
+    seg = jnp.asarray([0, 0, 0, 0])
+    mask = jnp.asarray([True, True, False, False])
+
+    def f(x):
+        a = segment_softmax(x, seg, 1, mask=mask)
+        return jnp.sum(a * jnp.asarray([1.0, 2.0, 3.0, 4.0]))
+
+    val, grad = jax.value_and_grad(f)(logits)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    a = segment_softmax(logits, seg, 1, mask=mask)
+    np.testing.assert_allclose(np.asarray(a)[2:], 0.0)
+    np.testing.assert_allclose(np.asarray(a)[:2].sum(), 1.0, rtol=1e-6)
