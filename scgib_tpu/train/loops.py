@@ -151,12 +151,46 @@ def _metric_fn(spec: DatasetSpec) -> Callable:
     raise ValueError(f"unknown metric {spec.metric}")
 
 
+class PackedEval:
+    """A split packed ONCE and kept device-resident for per-epoch reuse.
+
+    ``evaluate()`` used to re-pack and re-upload val+test every epoch;
+    for MUV/molpcba-scale datasets that host work dominated fine-tune
+    wall clock (VERDICT round-1 weak 4).  Packing is deterministic
+    (shuffle=False), so the batches — and the host-side label arrays the
+    metric needs — are computed once at construction."""
+
+    def __init__(self, ds: GraphDataset, caps: Capacities,
+                 batch_size: int, spec: DatasetSpec):
+        self.spec = spec
+        self.batches = []
+        self.graph_masks = []
+        self.labels = []
+        for g, sub in batch_iterator(ds, batch_size, caps, shuffle=False):
+            gm = np.asarray(g.graph_mask)
+            self.graph_masks.append(gm)
+            self.labels.append(np.where(np.asarray(g.label_mask)[gm],
+                                        np.asarray(g.labels)[gm], np.nan))
+            self.batches.append(jax.device_put((g, sub)))
+        self.y = np.concatenate(self.labels)
+
+    def evaluate(self, eval_fn: Callable, variables, rng=None) -> float:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        ps = [np.asarray(eval_fn(variables, g, sub, rng))[gm]
+              for (g, sub), gm in zip(self.batches, self.graph_masks)]
+        p = np.concatenate(ps)
+        if self.spec.metric == "acc":
+            return _metric_fn(self.spec)(self.y[:, 0], p)
+        return _metric_fn(self.spec)(self.y, p)
+
+
 def evaluate(eval_fn: Callable, variables, ds: GraphDataset,
              caps: Capacities, batch_size: int, spec: DatasetSpec,
              rng=None) -> float:
     """Accumulate scores/targets over the dataset on device, compute the
     metric on host (the reference's epoch-accumulated OGB evaluator,
-    train_moleculenetBACE.py:174-176)."""
+    train_moleculenetBACE.py:174-176).  One-shot form; loops that
+    evaluate every epoch use :class:`PackedEval`."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     ys, ps = [], []
     for g, sub in batch_iterator(ds, batch_size, caps, shuffle=False):
@@ -197,6 +231,10 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
     history = []
 
     accum = max(int(getattr(spec, "grad_accum", 1)), 1)
+
+    # pack + upload val/test once; reused every epoch (see PackedEval)
+    val_eval = PackedEval(val_ds, caps, batch_size, spec)
+    test_eval = PackedEval(test_ds, caps, batch_size, spec)
 
     if autosave_path:
         import os
@@ -243,10 +281,8 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
             nb += 1
         epoch_loss = total / max(nb, 1)
 
-        val = evaluate(eval_fn, state.variables, val_ds, caps, batch_size,
-                       spec)
-        test = evaluate(eval_fn, state.variables, test_ds, caps,
-                        batch_size, spec)
+        val = val_eval.evaluate(eval_fn, state.variables)
+        test = test_eval.evaluate(eval_fn, state.variables)
         history.append((epoch_loss, val, test))
         if log:
             log(f"finetune epoch {epoch}: loss {epoch_loss:.5f} "

@@ -40,6 +40,9 @@ class Oracle:
 
     def __init__(self, params, graphs, egos):
         self.p = jax.tree_util.tree_map(to_np, params)
+        self.stats = jax.tree_util.tree_map(
+            to_np, params.get("batch_stats", {}))
+        self.train = True
         self.graphs = graphs
         self.egos = egos
         # global concatenated arrays (real entries only)
@@ -86,13 +89,20 @@ class Oracle:
         return self.dense(p["Dense_1"],
                           np.maximum(self.dense(p["Dense_0"], x), 0))
 
-    def bn_train(self, p, x):
-        mean = x.mean(0)
-        var = ((x - mean) ** 2).mean(0)
+    def bn_train(self, p, x, stats=None):
+        if self.train:
+            mean = x.mean(0)
+            var = ((x - mean) ** 2).mean(0)
+        else:
+            # eval mode: torch nn.BatchNorm1d running statistics
+            # (fine-tune selection runs eval forwards,
+            # train_moleculenetBACE.py:180-199)
+            mean = to_np(stats["mean"])
+            var = to_np(stats["var"])
         y = (x - mean) / np.sqrt(var + 1e-5)
         return y * to_np(p["scale"]) + to_np(p["bias"])
 
-    def gin(self, p, x, senders, receivers):
+    def gin(self, p, x, senders, receivers, stats=None):
         h = x
         n = x.shape[0]
         n_convs = sum(1 for k in p if k.startswith("conv"))
@@ -100,7 +110,8 @@ class Oracle:
             agg = np.zeros_like(h)
             np.add.at(agg, receivers, h[senders])
             h = self.mlp2(p[f"conv{i}"], h + agg)
-            h = self.bn_train(p[f"bn{i}"], h)
+            h = self.bn_train(p[f"bn{i}"],
+                              h, (stats or {}).get(f"bn{i}"))
             h = np.maximum(h, 0)
         return h
 
@@ -112,9 +123,11 @@ class Oracle:
         x_proj = self.x @ wt
         x_sub_proj = self.x_sub @ wt
 
-        h = self.gin(core["encoder1"], x_proj, self.senders, self.receivers)
+        score_stats = self.stats.get("core", {})
+        h = self.gin(core["encoder1"], x_proj, self.senders,
+                     self.receivers, score_stats.get("encoder1"))
         h_sub = self.gin(core["encoder2"], x_sub_proj, self.sub_senders,
-                         self.sub_receivers)
+                         self.sub_receivers, score_stats.get("encoder2"))
 
         n_graphs = len(self.graphs)
         d = h.shape[1]
@@ -130,7 +143,9 @@ class Oracle:
             rows = self.seg == i
             feats = h[rows]
             z = self.dense(core["compressor"]["fc1"], feats)
-            z = self.bn_train(core["compressor"]["bn"], z)  # per-graph BN!
+            # per-graph BN in train mode; shared running stats in eval
+            z = self.bn_train(core["compressor"]["bn"], z,
+                              score_stats.get("compressor", {}).get("bn"))
             z = np.maximum(z, 0)
             pv = self.dense(core["compressor"]["fc2"], z)
             lam = 1 / (1 + np.exp(-pv))
@@ -352,3 +367,39 @@ def test_reference_weights_activation_parity():
                                atol=1e-4)
     np.testing.assert_allclose(float(losses.reconstruction),
                                oracle["recon"], rtol=5e-3, atol=1e-3)
+
+
+def test_eval_mode_running_bn_parity(setup):
+    """Eval-mode forward must use BatchNorm RUNNING statistics — the
+    reference's fine-tune selection evaluates in eval() mode
+    (train_moleculenetBACE.py:180-199); round-1 parity covered train mode
+    only (VERDICT round-1 missing 2)."""
+    graphs, egos, g, sub, model, variables = setup
+
+    # evolve the running stats away from their init with train forwards
+    vars2 = variables
+    for i in range(3):
+        _, mut = model.apply(vars2, g, sub, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"noise": jax.random.PRNGKey(10 + i)})
+        vars2 = {"params": variables["params"],
+                 "batch_stats": mut["batch_stats"]}
+    # sanity: stats actually moved
+    m0 = np.asarray(variables["batch_stats"]["core"]["encoder1"]["bn0"]
+                    ["mean"])
+    m1 = np.asarray(vars2["batch_stats"]["core"]["encoder1"]["bn0"]
+                    ["mean"])
+    assert not np.allclose(m0, m1)
+
+    losses, _ = model.apply(vars2, g, sub, train=False,
+                            mutable=["batch_stats"],
+                            rngs={"noise": jax.random.PRNGKey(9)})
+
+    oracle = Oracle(vars2, graphs, egos)
+    oracle.train = False
+    ref = oracle.run()
+    np.testing.assert_allclose(float(losses.kl), ref["kl"], rtol=1e-4)
+    np.testing.assert_allclose(float(losses.contrastive),
+                               ref["contrastive"], rtol=1e-4)
+    np.testing.assert_allclose(float(losses.reconstruction), ref["recon"],
+                               rtol=1e-4)
