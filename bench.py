@@ -126,7 +126,7 @@ def measure_device(model, variables, g, sub):
     rng, k = jax.random.split(rng)
     _vlog("device-path compile...")
     state, losses = step(state, g, sub, k)        # compile + warmup
-    jax.block_until_ready(losses.total)
+    float(np.asarray(losses.total)[-1])
     _vlog("device-path compiled")
 
     times = []
@@ -134,7 +134,11 @@ def measure_device(model, variables, g, sub):
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         state, losses = step(state, g, sub, k)
-        jax.block_until_ready(losses.total)
+        # scalar READBACK, not block_until_ready: on the tunneled axon
+        # platform block_until_ready on donated-aliased outputs returns
+        # ~70x early — only a host read of computed data is trustworthy
+        # (verified against non-donated timing, round 2)
+        float(np.asarray(losses.total)[-1])
         times.append(time.perf_counter() - t0)
     sec_per_step = statistics.median(times) / INNER_STEPS
     return sec_per_step
@@ -203,7 +207,7 @@ def measure_sustained(model, variables, ds, caps):
             done += SUPER_K
             if done >= n_batches:
                 break
-        jax.block_until_ready(losses.total)
+        float(np.asarray(losses.total)[-1])   # real readback (see above)
         return time.perf_counter() - t0, edges, state
 
     # warmup: compile the superbatch step + fill packer caches

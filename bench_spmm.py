@@ -70,7 +70,7 @@ def main():
     egos = [extract_egonets(g, 1) for g in graphs]
     sub = pack_subgraphs(graphs, egos, 16384, 65536)
 
-    n = sub.node_feat.shape[0]
+    n = sub.node_center.shape[0]
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
     w1 = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.1)
@@ -104,6 +104,34 @@ def main():
     timed("gather+segment (XLA)", gather_layer, (h,), flops=flops)
     timed("banded spmm (XLA)", banded_layer, (h,), flops=flops)
     timed("banded fused (Pallas)", pallas_layer, (h,), flops=flops)
+
+    # forward + backward (grad wrt h AND weights), ~3x forward FLOPs
+    def grad_layer(layer):
+        def f(hh):
+            def loss(hh_, w1_, w2_):
+                return jnp.sum(layer_p(hh_, w1_, w2_) ** 2)
+
+            def layer_p(hh_, w1_, w2_):
+                if layer == "gather":
+                    agg = gather_sum(hh_, sub.senders, sub.receivers, n,
+                                     sub.edge_mask)
+                    return jnp.maximum((hh_ + agg) @ w1_ + b1, 0.0) \
+                        @ w2_ + b2
+                if layer == "banded":
+                    agg = banded_spmm(blocks, coff, hh_)
+                    return jnp.maximum((hh_ + agg) @ w1_ + b1, 0.0) \
+                        @ w2_ + b2
+                return gin_banded_layer(blocks, coff, hh_, w1_, b1, w2_,
+                                        b2)
+
+            dh, dw1, dw2 = jax.grad(loss, argnums=(0, 1, 2))(hh, w1, w2)
+            return dh + dw1.sum() + dw2.sum()
+        return f
+
+    bflops = 3 * flops
+    timed("gather fwd+bwd", grad_layer("gather"), (h,), flops=bflops)
+    timed("banded fwd+bwd", grad_layer("banded"), (h,), flops=bflops)
+    timed("pallas fwd+bwd", grad_layer("pallas"), (h,), flops=bflops)
 
 
 if __name__ == "__main__":

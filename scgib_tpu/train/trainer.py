@@ -105,19 +105,29 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
 
 def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
                             n_inner: int,
-                            donate: bool = True) -> Callable:
+                            donate: bool = True,
+                            remat: bool = False) -> Callable:
     """``n_inner`` pretraining steps fused into one jitted ``lax.scan`` —
     one device dispatch per n_inner optimizer updates.  The production
     inner-loop pattern (and the only way to measure chip throughput when
     the host<->device link dominates single-step latency).  The same batch
     is reused across inner steps with a fresh RNG fold each step; pair
-    with an outer loop feeding new batches."""
+    with an outer loop feeding new batches.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` (see
+    make_pretrain_step) — needed for peptides-scale ego-net batches
+    (k>=3, bench_peptides.py)."""
 
     def loss_fn(params, batch_stats, g, sub, rng):
-        losses, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            g, sub, train=True, mutable=["batch_stats"],
-            rngs={"noise": rng})
+        def fwd(params, batch_stats):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                g, sub, train=True, mutable=["batch_stats"],
+                rngs={"noise": rng})
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+        losses, mutated = fwd(params, batch_stats)
         return losses.total, (losses, mutated["batch_stats"])
 
     def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch, rng):

@@ -186,3 +186,44 @@ def test_device_banded_model_parity():
                                    ).total)
               for m in packs}
     np.testing.assert_allclose(losses[True], losses["device"], rtol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="fused Pallas backward is TPU-only (CPU uses "
+                           "the XLA fallback, covered above); run this "
+                           "file on the device to exercise it")
+def test_fused_backward_parity_tpu():
+    """TPU fused backward (two Pallas kernels) == XLA reference grads."""
+    from scgib_tpu.ops.pallas.banded import (gin_banded_layer,
+                                             gin_banded_layer_reference)
+
+    rng = np.random.default_rng(0)
+    graphs = random_dataset(16, seed=1, min_nodes=8, max_nodes=20,
+                            feat_dim=9)
+    egos = [extract_egonets(g, 1) for g in graphs]
+    sub = pack_subgraphs(graphs, egos, 2048, 8192)
+    n = sub.node_center.shape[0]
+    banded = pack_banded(np.asarray(sub.senders), np.asarray(sub.receivers),
+                         np.asarray(sub.edge_mask), n, 128, 256)
+    D = 64
+    h = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
+    ws = [jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+          for s in ((D, D), (D,), (D, D), (D,))]
+    blocks = jnp.asarray(banded.blocks)
+    coff = jnp.asarray(banded.col_off)
+    ct = jnp.asarray(rng.normal(size=(n, D)).astype(np.float32))
+
+    def lp(h, w1, b1, w2, b2):
+        return jnp.sum(gin_banded_layer(blocks, coff, h, w1, b1, w2, b2)
+                       * ct)
+
+    def lr(h, w1, b1, w2, b2):
+        return jnp.sum(gin_banded_layer_reference(
+            blocks, coff, h, w1, b1, w2, b2) * ct)
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3, 4))(h, *ws)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 4))(h, *ws)
+    for a, b in zip(gp, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(b).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 1e-5
