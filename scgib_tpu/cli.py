@@ -521,6 +521,18 @@ def cmd_adapt(args):
     print(f"saved adapted model (loss {info['best_loss']:.5f}) to {out}")
 
 
+def cmd_download(args):
+    from .data.download import download_dataset
+
+    for name in args.dataset:
+        written = download_dataset(name, args.root,
+                                   base_url=args.base_url,
+                                   force=args.force)
+        print(f"{name}: {len(written)} file(s) under {args.root}")
+        for w in written:
+            print(f"  {w}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="scgib_tpu",
                                 description=__doc__,
@@ -640,6 +652,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--split", default="test",
                     choices=["train", "val", "test", "all", "full"])
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "download",
+        help="fetch a dataset's raw upstream files into the layout the "
+             "readers expect (the reference's PyG/OGB download step, "
+             "exp_moleculenetBACE_BBBP.py:219-224)")
+    sp.add_argument("--dataset", required=True, action="append",
+                    help="dataset name (repeatable); see "
+                         "scgib_tpu.data.download.REGISTRY")
+    sp.add_argument("--root", required=True,
+                    help="destination root directory")
+    sp.add_argument("--base_url", default=None,
+                    help="mirror base URL (air-gapped setups / tests)")
+    sp.add_argument("--force", action="store_true",
+                    help="re-fetch even if files exist")
+    sp.set_defaults(fn=cmd_download)
 
     sp = sub.add_parser("adapt", help="unsupervised domain adaptation")
     common(sp, lr=1e-3, wd=1e-5, epochs=50)

@@ -14,6 +14,7 @@ scatter path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -27,13 +28,64 @@ def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     return data * m.reshape(m.shape + (1,) * (data.ndim - m.ndim))
 
 
+# ---------------------------------------------------------------------------
+# Dense one-hot fast path.
+#
+# XLA lowers segment reductions to scatters, which serialize on TPU — the
+# per-graph ops (num_segments = batch size, ~128) measured 28-390 us each
+# fwd+bwd on v5e-1 at bench shapes, dwarfing the encoder kernels.  When the
+# [num_segments, N] assignment matrix is small, the same reduction is a
+# dense one-hot matmul: [S, N] @ [N, d] runs on the MXU in ~us, and its
+# BACKWARD is also a matmul (no scatter anywhere).  XLA CSEs the repeated
+# one-hot construction across the many call sites of one jitted step.
+#
+# Auto-enabled on TPU for S*N <= _DENSE_LIMIT elements (per-graph ops:
+# 128*4096 = 0.5M yes; per-center candidate sums: 4096*16384 = 64M no —
+# those keep the scatter).  SCGIB_SEGMENT_DENSE=0/1 forces it off/on
+# (tests exercise both paths on CPU).
+# ---------------------------------------------------------------------------
+
+_DENSE_LIMIT = 4 * 1024 * 1024
+
+
+def _dense_ok(n_rows: int, num_segments: int) -> bool:
+    mode = os.environ.get("SCGIB_SEGMENT_DENSE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return (jax.default_backend() == "tpu"
+            and n_rows * num_segments <= _DENSE_LIMIT)
+
+
+def _onehot(segment_ids: jnp.ndarray, num_segments: int,
+            dtype) -> jnp.ndarray:
+    iota = jax.lax.iota(jnp.int32, num_segments)
+    return (segment_ids[None, :] == iota[:, None]).astype(dtype)
+
+
+def _segment_sum_dense(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """data already masked.  [N, ...] -> [S, ...] via MXU matmul.
+    precision=HIGHEST keeps f32 numerics (within reduction order)."""
+    n = data.shape[0]
+    oh = _onehot(segment_ids, num_segments, data.dtype)
+    flat = data.reshape(n, -1)
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((num_segments,) + data.shape[1:])
+
+
 def segment_sum(data: jnp.ndarray,
                 segment_ids: jnp.ndarray,
                 num_segments: int,
                 mask: Optional[jnp.ndarray] = None,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
     """Masked segment sum.  data: [N, ...] -> [num_segments, ...]."""
-    return jax.ops.segment_sum(_apply_mask(data, mask), segment_ids,
+    data = _apply_mask(data, mask)
+    if (jnp.issubdtype(data.dtype, jnp.floating)
+            and _dense_ok(data.shape[0], num_segments)):
+        return _segment_sum_dense(data, segment_ids, num_segments)
+    return jax.ops.segment_sum(data, segment_ids,
                                num_segments=num_segments,
                                indices_are_sorted=indices_are_sorted)
 
@@ -88,6 +140,13 @@ def segment_max(data: jnp.ndarray,
                 mask: Optional[jnp.ndarray] = None,
                 indices_are_sorted: bool = True) -> jnp.ndarray:
     neg_inf = jnp.asarray(-jnp.inf, dtype=data.dtype)
+    if data.ndim == 1 and _dense_ok(data.shape[0], num_segments):
+        valid = segment_ids[None, :] == jax.lax.iota(
+            jnp.int32, num_segments)[:, None]
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[None, :])
+        mat = jnp.where(valid, data[None, :], neg_inf)   # [S, N]
+        return mat.max(axis=1)
     if mask is not None:
         m = mask.reshape(mask.shape + (1,) * (data.ndim - 1))
         data = jnp.where(m, data, neg_inf)

@@ -105,3 +105,42 @@ def test_segment_count(rng):
     out = np.array(segment_count(jnp.array(seg), 6, jnp.array(mask)))
     for s in range(6):
         assert out[s] == ((seg == s) & mask).sum()
+
+
+def test_dense_path_matches_scatter(rng, monkeypatch):
+    """The one-hot MXU fast path (SCGIB_SEGMENT_DENSE=1) must agree with
+    the scatter path on values AND gradients — masks, empty segments,
+    out-of-range ids, 1-D and 2-D data, softmax/std_mean included."""
+    import jax
+
+    n, g = 64, 7
+    seg = np.sort(rng.integers(0, g, size=n)).astype(np.int32)
+    seg[-3:] = g + 1                     # out-of-range ids must be dropped
+    data = rng.normal(size=(n, 5)).astype(np.float32)
+    logits = rng.normal(size=n).astype(np.float32) * 3
+    mask = rng.random(n) < 0.75
+
+    def run_all():
+        outs = [
+            segment_sum(jnp.array(data), jnp.array(seg), g, jnp.array(mask)),
+            segment_mean(jnp.array(data), jnp.array(seg), g, jnp.array(mask)),
+            segment_softmax(jnp.array(logits), jnp.array(seg), g,
+                            jnp.array(mask)),
+            segment_count(jnp.array(seg), g, jnp.array(mask)),
+        ]
+        outs.extend(segment_std_mean(jnp.array(data), jnp.array(seg), g,
+                                     jnp.array(mask)))
+        grad = jax.grad(lambda x: (segment_sum(
+            x, jnp.array(seg), g, jnp.array(mask)) ** 2).sum())(
+                jnp.array(data))
+        gsm = jax.grad(lambda x: (segment_softmax(
+            x, jnp.array(seg), g, jnp.array(mask)) ** 2).sum())(
+                jnp.array(logits))
+        return [np.array(o) for o in outs + [grad, gsm]]
+
+    monkeypatch.setenv("SCGIB_SEGMENT_DENSE", "0")
+    ref = run_all()
+    monkeypatch.setenv("SCGIB_SEGMENT_DENSE", "1")
+    dense = run_all()
+    for r, d in zip(ref, dense):
+        np.testing.assert_allclose(d, r, rtol=1e-5, atol=1e-6)
