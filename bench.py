@@ -3,21 +3,35 @@
 Prints ONE JSON line with BOTH throughput views plus an MFU estimate
 (VERDICT round-1 item 2 — the honest-bench requirement):
 
-  value / sustained_edges_per_s — edges/s/chip through the PRODUCTION
-      epoch loop: fresh batches packed on host (threaded C++ packer),
-      stacked into superbatches, shipped, and scanned as real optimizer
-      steps (make_pretrain_superbatch_step).  Includes pack + upload +
-      step.  This is the headline metric.
-  device_edges_per_s — edges/s/chip of the on-device step alone
+  value / device_edges_per_s — edges/s/chip of the on-device step alone
       (lax.scan over one resident batch), the kernel-level ceiling.
+  sustained_edges_per_s — edges/s/chip through the PRODUCTION epoch
+      loop: fresh batches packed on host (threaded C++ packer), stacked
+      into superbatches, shipped, and scanned as real optimizer steps
+      (make_pretrain_superbatch_step).  Includes pack + upload + step.
   mfu — model-FLOP utilization: analytic matmul FLOPs of the training
       step (forward x3 for fwd+bwd, + optimizer) over real rows/edges,
       divided by device-step time x peak.  Peak defaults to TPU v5e
       bf16 197 TFLOP/s (override BENCH_PEAK_FLOPS); compute runs f32,
       so this understates utilization of the f32 pipe.
 
-Median-of-N timing on both paths tames the tunneled chip's run-to-run
-variance (PERF.md measurement notes).
+Timing method (VERDICT round-2 item 1 — measurement honesty):
+
+  * The timed step is jitted WITHOUT donation and scans INNER_STEPS=128
+    optimizer steps per dispatch, so one dispatch's device work
+    (~100s of ms) dwarfs the tunneled link's 20-40 ms round trip.
+    (Round 2's 23 us/step "measurement" was an async-dispatch artifact
+    on donated-aliased outputs — physically impossible on this link.)
+  * An RTT floor is measured with a trivial jitted scalar op and
+    subtracted from each dispatch wall time before dividing by
+    INNER_STEPS.
+  * The JSON carries `rtt_ms` and `dispatch_wall_ms` so the number can
+    be sanity-checked: dispatch_wall_ms must exceed rtt_ms by the real
+    device time (dispatch_wall >= rtt is the plausibility invariant).
+
+Runtime is bounded (BENCH_BUDGET_S, default 330 s): the sustained phase
+only runs inside the remaining budget and is skipped (nulls in the JSON)
+if the budget is spent — the final JSON line always prints.
 
 Shape: batch 128 PCQM4Mv2-like molecules (10-30 heavy atoms), k=1
 ego-nets, GIN-64, d_transfer 32 — the reference pretraining config
@@ -37,6 +51,14 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compilation cache: compiles through the tunneled device vary
+# 7-120 s each; caching them on disk makes reruns (and the driver's bench
+# invocation) start hot.  Harmless on a local host.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from scgib_tpu.data.loader import (GraphDataset, batch_iterator,
                                    plan_capacities, prefetch_to_device)
 from scgib_tpu.graph.wire import (byte_spec_of, pack_bytes, to_wire_graph,
@@ -50,10 +72,31 @@ from scgib_tpu.train.trainer import (TrainState, adam_l2,
                                      make_pretrain_scan_step,
                                      make_pretrain_superbatch_step)
 
+_T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "150"))
+_BUDGET_FROM = [_T0]     # reset to post-warmup time (see _warm_device)
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - _BUDGET_FROM[0])
+
+
+def _warm_device():
+    """Absorb the tunnel's one-time first-sync stall.
+
+    Measured on the axon tunnel: the first device sync of every fresh
+    process stalls 30-500 s (lazy session establishment); every later
+    round trip is ~25 ms.  Running the first sync in a background thread
+    overlaps the stall with host-side packing, and the budget clock only
+    starts once the channel is warm — otherwise the stall would eat the
+    whole budget before any measurement ran."""
+    f = jax.jit(lambda x: x + 1.0)
+    float(f(jnp.float32(0.0)))
+
+
 def _vlog(msg):
-    if os.environ.get("BENCH_VERBOSE"):
-        print(f"[bench {time.perf_counter():.1f}] {msg}",
-              file=sys.stderr, flush=True)
+    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 BATCH_GRAPHS = 128
@@ -64,12 +107,14 @@ SUB_EDGE_CAP = 65536
 FEAT = 9
 HIDDEN = 64
 DT = 32
-INNER_STEPS = 50     # steps fused into one jitted lax.scan dispatch
-DEVICE_REPS = 5      # timed dispatches for the device path (median)
+INNER_STEPS = 128    # steps fused into one jitted lax.scan dispatch —
+                     # large enough that device work per dispatch (~100s
+                     # of ms) dominates the 20-40 ms tunnel RTT
+DEVICE_REPS = 3      # timed dispatches for the device path (median)
 SUPER_K = 16         # batches per superbatch dispatch
 SUSTAINED_BATCHES = 64   # fresh batches per sustained reading
-SUSTAINED_REPS = 3       # sustained readings (median)
-DATASET_GRAPHS = 2048    # pool the sustained loop draws from
+SUSTAINED_REPS = 3       # sustained readings (median), budget permitting
+DATASET_GRAPHS = 1024    # pool the sustained loop draws from
 
 # Reference single-GPU (RTX A5000) DGL/PyTorch pretraining throughput
 # estimate in edges/s; overridden by BASELINE.json "throughput_edges_per_s"
@@ -113,15 +158,35 @@ def _count_params(params):
                    for p in jax.tree_util.tree_leaves(params)))
 
 
-def measure_device(model, variables, g, sub):
-    """On-device step throughput: lax.scan over one resident batch."""
+def measure_rtt():
+    """Dispatch+readback round-trip floor of a trivial jitted scalar op.
+
+    On a local host this is ~100 us; through the axon tunnel it is the
+    20-40 ms network round trip that every timed dispatch also pays."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    for _ in range(2):       # compile + settle (the per-process first-sync
+        float(f(x))          # stall was already absorbed by _warm_device)
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    # min, not median: the floor every timed dispatch necessarily pays;
+    # stragglers above it are tunnel jitter, not device time
+    return min(ts)
+
+
+def measure_device(model, variables, g, sub, rtt_s):
+    """On-device step time: non-donated lax.scan dispatches, RTT floor
+    subtracted.  Returns (sec_per_step, median_dispatch_wall_s)."""
     tx = adam_l2(1e-4, weight_decay=5e-5)
-    # private copy: the jitted step DONATES the state, whose params alias
-    # the caller's variables — without a copy the next phase would read
-    # deleted buffers
     state = TrainState.create(
         jax.tree_util.tree_map(jnp.copy, variables), tx)
-    step = make_pretrain_scan_step(model, tx, INNER_STEPS)
+    # donate=False: donated-aliased outputs have returned early from both
+    # block_until_ready AND scalar readbacks on this platform (round-2
+    # artifact post-mortem, PERF.md) — the timed path takes no chances
+    step = make_pretrain_scan_step(model, tx, INNER_STEPS, donate=False)
     rng = jax.random.PRNGKey(2)
     rng, k = jax.random.split(rng)
     _vlog("device-path compile...")
@@ -134,24 +199,26 @@ def measure_device(model, variables, g, sub):
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
         state, losses = step(state, g, sub, k)
-        # scalar READBACK, not block_until_ready: on the tunneled axon
-        # platform block_until_ready on donated-aliased outputs returns
-        # ~70x early — only a host read of computed data is trustworthy
-        # (verified against non-donated timing, round 2)
+        # readback of the final scanned loss: data-dependent on the whole
+        # dispatch, so the wall time spans the full device execution
         float(np.asarray(losses.total)[-1])
         times.append(time.perf_counter() - t0)
-    sec_per_step = statistics.median(times) / INNER_STEPS
-    return sec_per_step
+    wall = statistics.median(times)
+    sec_per_step = max(wall - rtt_s, 0.0) / INNER_STEPS
+    return sec_per_step, wall
 
 
 def measure_sustained(model, variables, ds, caps):
     """Production epoch-loop throughput: pack fresh batches (threaded C++
     packer), compress to the compact wire format (graph/wire.py), stack
     SUPER_K on the host, device_put in a BACKGROUND thread (upload
-    overlaps compute), and scan real optimizer steps."""
+    overlaps compute), and scan real optimizer steps.
+
+    Budget-aware: takes up to SUSTAINED_REPS readings but stops when the
+    global budget is nearly spent.  Returns (median_rate, n_readings)."""
     tx = adam_l2(1e-4, weight_decay=5e-5)
     state = TrainState.create(
-        jax.tree_util.tree_map(jnp.copy, variables), tx)  # see measure_device
+        jax.tree_util.tree_map(jnp.copy, variables), tx)
     rng = jax.random.PRNGKey(3)
 
     def batches_forever(seed0):
@@ -207,24 +274,39 @@ def measure_sustained(model, variables, ds, caps):
             done += SUPER_K
             if done >= n_batches:
                 break
-        float(np.asarray(losses.total)[-1])   # real readback (see above)
+        float(np.asarray(losses.total)[-1])   # real readback
         return time.perf_counter() - t0, edges, state
 
     # warmup: compile the superbatch step + fill packer caches
     _vlog("sustained warmup (compile)...")
+    warm_t0 = time.perf_counter()
     _, _, state = run_batches(SUPER_K, state, seed=99)
-    _vlog("sustained warmup done")
+    warm_dt = time.perf_counter() - warm_t0
+    _vlog(f"sustained warmup done ({warm_dt:.1f}s)")
 
     rates = []
     for i in range(SUSTAINED_REPS):
-        dt, edges, state = run_batches(SUSTAINED_BATCHES, state, seed=i)
-        _vlog(f"sustained rep {i}: {edges/dt:.3e} edges/s "
-              f"({dt*1e3/SUSTAINED_BATCHES:.2f} ms/batch)")
-        rates.append(edges / dt)
-    return statistics.median(rates)
+        # a reading costs roughly its previous sibling; leave 10 s slack
+        if rates and _remaining() < 1.5 * last_dt + 10:
+            _vlog(f"budget: stopping after {len(rates)} readings")
+            break
+        if not rates and _remaining() < 15:
+            break
+        last_dt, edges, state = run_batches(SUSTAINED_BATCHES, state, seed=i)
+        _vlog(f"sustained rep {i}: {edges/last_dt:.3e} edges/s "
+              f"({last_dt*1e3/SUSTAINED_BATCHES:.2f} ms/batch)")
+        rates.append(edges / last_dt)
+    if not rates:
+        return None, 0
+    return statistics.median(rates), len(rates)
 
 
 def main():
+    import threading
+
+    _vlog(f"budget {BUDGET_S:.0f}s (from first-sync warmup)")
+    warm = threading.Thread(target=_warm_device, daemon=True)
+    warm.start()
     graphs = random_dataset(BATCH_GRAPHS, seed=0, min_nodes=10, max_nodes=30,
                             feat_dim=FEAT)
     egos = [extract_egonets(g, 1) for g in graphs]
@@ -246,19 +328,32 @@ def main():
     else:
         sub = coo_sub
 
+    _vlog("packed; waiting for first-sync warmup")
+    warm.join()
+    _BUDGET_FROM[0] = time.perf_counter()
+    _vlog("device channel warm; uploading batch")
     g = jax.device_put(g)
     sub = jax.device_put(sub)
 
     impl = os.environ.get("BENCH_RECONS_IMPL", "gram")
     model = PretrainModel(in_dim=FEAT, hidden=HIDDEN, d_transfer=DT,
                           recons_impl=impl, subgraph_mode=mode)
-    variables = model.init(
+    _vlog("model.init...")
+    # jit the init: un-jitted flax init dispatches op-by-op, paying the
+    # tunnel RTT per op (~2 min wall); jitted it is one compile
+    variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         g, sub, train=True)
+    _vlog("model.init done")
 
-    # --- device path + MFU -----------------------------------------------
-    sec_per_step = measure_device(model, variables, g, sub)
+    # --- RTT floor + device path + MFU -----------------------------------
+    rtt_s = measure_rtt()
+    _vlog(f"RTT floor {rtt_s*1e3:.1f} ms")
+    sec_per_step, dispatch_wall = measure_device(model, variables, g, sub,
+                                                 rtt_s)
     device_edges_per_s = edges_per_step / sec_per_step
+    _vlog(f"device step {sec_per_step*1e6:.0f} us "
+          f"(dispatch wall {dispatch_wall*1e3:.0f} ms)")
 
     n_rows = int(np.asarray(g.node_mask).sum())
     s_rows = int(np.asarray(coo_sub.node_mask).sum())
@@ -267,20 +362,31 @@ def main():
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", DEFAULT_PEAK_FLOPS))
     mfu = flops / sec_per_step / peak
 
-    # --- sustained epoch-loop path ----------------------------------------
-    pool = random_dataset(DATASET_GRAPHS, seed=7, min_nodes=10,
-                          max_nodes=30, feat_dim=FEAT)
-    ds = GraphDataset(pool, k=1)
-    caps = plan_capacities(ds, BATCH_GRAPHS)
-    sustained_edges_per_s = measure_sustained(model, variables, ds, caps)
+    # --- sustained epoch-loop path (budget permitting) -------------------
+    sustained_edges_per_s = None
+    sustained_reps = 0
+    link_mbps = None
+    if _remaining() > 60 and not os.environ.get("BENCH_SKIP_SUSTAINED"):
+        try:
+            pool = random_dataset(DATASET_GRAPHS, seed=7, min_nodes=10,
+                                  max_nodes=30, feat_dim=FEAT)
+            ds = GraphDataset(pool, k=1)
+            caps = plan_capacities(ds, BATCH_GRAPHS)
+            sustained_edges_per_s, sustained_reps = measure_sustained(
+                model, variables, ds, caps)
+        except Exception as exc:                      # noqa: BLE001
+            _vlog(f"sustained phase failed: {exc!r} — device numbers stand")
+    else:
+        _vlog("skipping sustained phase (budget)")
 
     # host->device link bandwidth (context for the sustained number: on a
     # tunneled chip the link, not the chip or the host pipeline, bounds it)
-    probe = np.zeros((8 << 20) // 4, np.float32)
-    jax.block_until_ready(jax.device_put(probe))     # warm the path
-    t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe))
-    link_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
+    if _remaining() > 10:
+        probe = np.zeros((8 << 20) // 4, np.float32)
+        jax.block_until_ready(jax.device_put(probe))     # warm the path
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(probe))
+        link_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
 
     baseline = DEFAULT_BASELINE_EDGES_PER_S
     try:
@@ -291,19 +397,32 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    out = {
         "metric": "pretrain_edges_per_s_per_chip",
         "value": round(device_edges_per_s, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(device_edges_per_s / baseline, 3),
         "device_edges_per_s": round(device_edges_per_s, 1),
-        "sustained_edges_per_s": round(sustained_edges_per_s, 1),
-        "sustained_vs_baseline": round(sustained_edges_per_s / baseline, 3),
         "device_us_per_step": round(sec_per_step * 1e6, 2),
         "mfu": round(mfu, 4),
         "model_flops_per_step": round(flops),
-        "host_link_mbytes_per_s": round(link_mbps, 1),
-    }))
+        "timing": {
+            "method": "non-donated scan dispatch, RTT floor subtracted",
+            "inner_steps": INNER_STEPS,
+            "rtt_ms": round(rtt_s * 1e3, 2),
+            "dispatch_wall_ms": round(dispatch_wall * 1e3, 2),
+        },
+        "sustained_edges_per_s": (round(sustained_edges_per_s, 1)
+                                  if sustained_edges_per_s else None),
+        "sustained_vs_baseline": (round(sustained_edges_per_s / baseline, 3)
+                                  if sustained_edges_per_s else None),
+        "sustained_reps": sustained_reps,
+        "host_link_mbytes_per_s": (round(link_mbps, 1)
+                                   if link_mbps else None),
+        "wall_s": round(time.perf_counter() - _T0, 1),
+        "first_sync_stall_s": round(_BUDGET_FROM[0] - _T0, 1),
+    }
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -139,7 +139,8 @@ def cmd_pretrain(args):
     from .models.scgib import PretrainModel
     from .train import checkpoint as ckpt
     from .train.loops import run_pretraining
-    from .train.trainer import TrainState, adam_l2, make_pretrain_step
+    from .train.trainer import (TrainState, adam_l2, init_model,
+                                make_pretrain_step)
 
     if args.curriculum:
         return _run_curriculum(args)
@@ -162,7 +163,7 @@ def cmd_pretrain(args):
         variables, _ = ckpt.load_checkpoint(args.pretrained)
         print(f"resumed from {args.pretrained}")
     else:
-        variables = model.init(
+        variables = init_model(model,
             {"params": jax.random.PRNGKey(args.seed),
              "noise": jax.random.PRNGKey(args.seed + 1)},
             g0, sub0, train=True)
@@ -204,7 +205,8 @@ def _run_curriculum(args):
     from .models.scgib import PretrainModel
     from .train import checkpoint as ckpt
     from .train.loops import run_pretraining
-    from .train.trainer import TrainState, adam_l2, make_pretrain_step
+    from .train.trainer import (TrainState, adam_l2, init_model,
+                                make_pretrain_step)
 
     if args.stage_caches:
         stage_data = []
@@ -244,7 +246,7 @@ def _run_curriculum(args):
         logm_k = args.k if args.recons_type == "logM" else None
         g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
                                        shuffle=False, logm_k=logm_k))
-        variables = model.init(
+        variables = init_model(model,
             {"params": jax.random.PRNGKey(args.seed + stage_i),
              "noise": jax.random.PRNGKey(args.seed + stage_i + 1)},
             g0, sub0, train=True)
@@ -276,7 +278,8 @@ def cmd_finetune(args):
     from .models.scgib import FinetuneModel
     from .train import checkpoint as ckpt
     from .train.loops import run_finetune
-    from .train.trainer import (TrainState, adam_l2, finetune_trainable_mask,
+    from .train.trainer import (TrainState, adam_l2, init_model,
+                                finetune_trainable_mask,
                                 make_eval_fn, make_finetune_step, masked_tx)
 
     spec = DATASETS.get(args.dataset)
@@ -323,7 +326,7 @@ def cmd_finetune(args):
 
     g0, sub0 = next(batch_iterator(train_ds, args.batch_size, caps,
                                    shuffle=False))
-    variables = model.init(
+    variables = init_model(model,
         {"params": jax.random.PRNGKey(args.seed),
          "noise": jax.random.PRNGKey(args.seed + 1)},
         g0, sub0, train=True)
@@ -353,7 +356,7 @@ def cmd_finetune(args):
         rep_vars = variables
         if rep > 0:
             import jax as _jax
-            rep_vars = model.init(
+            rep_vars = init_model(model,
                 {"params": _jax.random.PRNGKey(args.seed + 100 + rep),
                  "noise": _jax.random.PRNGKey(args.seed + 200 + rep)},
                 g0, sub0, train=True)
@@ -474,7 +477,8 @@ def cmd_adapt(args):
     from .models.scgib import DomainAdaptModel
     from .train import checkpoint as ckpt
     from .train.loops import run_domain_adaptation
-    from .train.trainer import TrainState, adam_l2, make_domainadapt_step
+    from .train.trainer import (TrainState, adam_l2, init_model,
+                                make_domainadapt_step)
 
     ds = _build_dataset(args)
     caps = plan_capacities(ds, args.batch_size)
@@ -500,7 +504,7 @@ def cmd_adapt(args):
     model = DomainAdaptModel(in_dim=feat_dim, **_common_model_kwargs(args))
     g0, sub0 = next(batch_iterator(ds, args.batch_size, caps,
                                    shuffle=False))
-    variables = model.init(
+    variables = init_model(model,
         {"params": jax.random.PRNGKey(args.seed),
          "noise": jax.random.PRNGKey(args.seed + 1)},
         g0, sub0, train=True)

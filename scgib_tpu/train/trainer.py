@@ -36,6 +36,17 @@ from ..models.losses import (bce_loss, bce_with_logits_loss,
                              cross_entropy_loss, mae_loss, rmse_loss)
 
 
+def init_model(model, rngs, *args, **kwargs):
+    """``model.init`` under jit.
+
+    Un-jitted flax init executes the forward op-by-op; on a remote/tunneled
+    device every one of those dispatches pays the link round trip (~25 ms
+    each — measured ~2 minutes of wall for one PretrainModel init through
+    the axon tunnel).  Jitted, it is one compile + one dispatch."""
+    return jax.jit(model.init, static_argnames=("train",))(
+        rngs, *args, **kwargs)
+
+
 def adam_l2(learning_rate: float, weight_decay: float = 0.0,
             b1: float = 0.9, b2: float = 0.999,
             eps: float = 1e-8) -> optax.GradientTransformation:
