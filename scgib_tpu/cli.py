@@ -170,12 +170,25 @@ def cmd_pretrain(args):
 
     tx = adam_l2(args.lr, weight_decay=args.weight_decay)
     state = TrainState.create(variables, tx)
-    step = make_pretrain_step(model, tx)
+    sb = getattr(args, "superbatch", 0)
+    sb_specs = None
+    if sb:
+        from .data.loader import superbatch_specs
+        from .train.trainer import make_pretrain_superbatch_step
+
+        sb_specs = superbatch_specs(ds, args.batch_size, caps, sb,
+                                    logm_k=logm_k)
+        step = make_pretrain_superbatch_step(model, tx,
+                                             byte_specs=sb_specs)
+    else:
+        step = make_pretrain_step(model, tx)
     state, info = run_pretraining(step, state, ds, caps, args.batch_size,
                                   epochs=args.epochs,
                                   patience=args.patience, seed=args.seed,
                                   autosave_path=args.autosave or None,
                                   autosave_every=args.autosave_every,
+                                  superbatch_k=sb,
+                                  superbatch_specs=sb_specs,
                                   logm_k=(args.k if
                                           args.recons_type == "logM"
                                           else None))
@@ -254,13 +267,28 @@ def _run_curriculum(args):
             variables = ckpt.load_core_into(variables, prev_core)
         tx = adam_l2(args.lr, weight_decay=args.weight_decay)
         state = TrainState.create(variables, tx)
-        step = make_pretrain_step(model, tx)
+        sb = getattr(args, "superbatch", 0)
+        sb_specs = None
+        if sb:
+            from .data.loader import superbatch_specs
+            from .train.trainer import make_pretrain_superbatch_step
+
+            sb_specs = superbatch_specs(ds, args.batch_size, caps, sb,
+                                        logm_k=logm_k)
+            step = make_pretrain_superbatch_step(model, tx,
+                                                 byte_specs=sb_specs)
+        else:
+            step = make_pretrain_step(model, tx)
         print(f"stage {stage_i} ({name}): {len(ds)} graphs, "
               f"feat_dim {feat_dim}")
+        autosave = getattr(args, "autosave", None)
         state, info = run_pretraining(
             step, state, ds, caps, args.batch_size, epochs=args.epochs,
             patience=args.patience, seed=args.seed + stage_i,
-            logm_k=logm_k)
+            logm_k=logm_k, superbatch_k=sb, superbatch_specs=sb_specs,
+            autosave_path=(f"{autosave}.stage{stage_i}" if autosave
+                           else None),
+            autosave_every=getattr(args, "autosave_every", 1))
         ckpt.save_checkpoint(cp_path, info["best_variables"],
                              config=_args_config(args),
                              step=info["best_epoch"])
@@ -619,6 +647,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["corrected", "reference"])
     sp.add_argument("--curriculum", action="store_true",
                     help="3-stage curriculum (exp_pretraining flow)")
+    sp.add_argument("--superbatch", type=int, default=0,
+                    help="ship K wire-format batches per device dispatch "
+                         "(amortizes link round trips; 0 = per-batch)")
     sp.add_argument("--autosave", default=None,
                     help="full-train-state autosave path: resumes "
                          "automatically after preemption/crash")
@@ -686,8 +717,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (SCGIB_COMPILE_CACHE to move it,
+    =0 to disable).  Compiles through a remote/tunneled device vary
+    7-120 s each; caching them on disk makes reruns start hot."""
+    cache = os.environ.get("SCGIB_COMPILE_CACHE", ".jax_cache")
+    if cache == "0":
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

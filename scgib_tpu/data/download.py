@@ -20,7 +20,6 @@ testable against a local HTTP server without network egress
 
 from __future__ import annotations
 
-import gzip
 import os
 import shutil
 import tarfile
@@ -127,6 +126,21 @@ def _fetch(url: str, dest: str, retries: int = 3,
                        f"{last}")
 
 
+def _safe_rel(member: str) -> str:
+    """Sanitize an archive member path for manual extraction.
+
+    ``zipfile.extractall`` strips ``..``/absolute components itself; this
+    manual writer must do the same or a crafted entry like
+    ``top/../../escape.txt`` writes outside the extraction root (zip-slip
+    via a malicious --base_url mirror or compromised upstream)."""
+    parts = [p for p in member.replace("\\", "/").split("/")
+             if p not in ("", os.curdir, os.pardir)
+             and not (len(p) == 2 and p[1] == ":")]   # drive letters
+    if not parts:
+        raise ValueError(f"unsafe archive member path: {member!r}")
+    return os.path.join(*parts)
+
+
 def _extract(archive: str, root: str, mode: str) -> None:
     if mode == "tar":
         with tarfile.open(archive) as tf:
@@ -139,7 +153,7 @@ def _extract(archive: str, root: str, mode: str) -> None:
             tops = {n.split("/", 1)[0] for n in names if "/" in n}
             strip = len(tops) == 1 and all("/" in n for n in names)
             for n in names:
-                rel = n.split("/", 1)[1] if strip else n
+                rel = _safe_rel(n.split("/", 1)[1] if strip else n)
                 out = os.path.join(root, rel)
                 os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
                 with zf.open(n) as src, open(out, "wb") as dst:

@@ -258,3 +258,78 @@ def prefetch_to_device(it: Iterator, size: int = 2,
         if item is _END:
             break
         yield item
+
+
+def wire_superbatches(ds: GraphDataset, batch_size: int, caps: Capacities,
+                      super_k: int, shuffle: bool = True, seed: int = 0,
+                      workers: int = 4, logm_k: Optional[int] = None,
+                      byte_specs=None):
+    """Yield ``(g_bytes, sub_bytes, real_edges)`` wire superbatches.
+
+    K packed batches are converted to the compact wire format
+    (graph/wire.py), stacked on a leading [K] axis, and serialized into
+    ONE uint8 buffer per pytree (``pack_bytes``) — a single device_put
+    per superbatch instead of one per leaf, which removes the per-put
+    round-trip latency that dominates a tunneled/remote link.  Consumed
+    by ``make_pretrain_superbatch_step(byte_specs=...)``.
+
+    ``byte_specs``: pass the pair from :func:`superbatch_specs` (also
+    used to build the step function); computed from the first group if
+    omitted.  A trailing group smaller than ``super_k`` is dropped
+    (epochs chain in callers, so no data is permanently lost).
+    """
+    import numpy as _np
+
+    from ..graph.wire import (byte_spec_of, pack_bytes, to_wire_graph,
+                              to_wire_sub)
+
+    group = []
+    for g, sub in batch_iterator(ds, batch_size, caps, shuffle=shuffle,
+                                 seed=seed, workers=workers,
+                                 logm_k=logm_k):
+        if g.logm_targets is not None:
+            raise ValueError("wire superbatches do not carry logM "
+                             "targets (O(k N^2) — ship per-batch instead:"
+                             " superbatch_k=0 with recons_type='logM')")
+        group.append((to_wire_graph(g), to_wire_sub(sub)))
+        if len(group) < super_k:
+            continue
+        edges = int(sum(int(w.n_edges) + int(v.n_edges)
+                        for w, v in group))
+        import jax as _jax
+
+        gs = _jax.tree_util.tree_map(
+            lambda *xs: _np.stack(xs), *[b[0] for b in group])
+        subs = _jax.tree_util.tree_map(
+            lambda *xs: _np.stack(xs), *[b[1] for b in group])
+        if byte_specs is None:
+            byte_specs = (byte_spec_of(gs), byte_spec_of(subs))
+        yield (pack_bytes(gs, byte_specs[0]),
+               pack_bytes(subs, byte_specs[1]), edges)
+        group = []
+
+
+def superbatch_specs(ds: GraphDataset, batch_size: int, caps: Capacities,
+                     super_k: int, logm_k: Optional[int] = None):
+    """Byte specs (g_spec, sub_spec) for ``wire_superbatches`` /
+    ``make_pretrain_superbatch_step`` — computed from one sample group."""
+    import jax as _jax
+    import numpy as _np
+
+    from ..graph.wire import byte_spec_of, to_wire_graph, to_wire_sub
+
+    group = []
+    for g, sub in batch_iterator(ds, batch_size, caps, shuffle=False,
+                                 logm_k=logm_k):
+        group.append((to_wire_graph(g), to_wire_sub(sub)))
+        if len(group) == super_k:
+            break
+    if len(group) < super_k:
+        raise ValueError(
+            f"dataset too small for super_k={super_k}: "
+            f"{len(group)} batches of {batch_size}")
+    gs = _jax.tree_util.tree_map(
+        lambda *xs: _np.stack(xs), *[b[0] for b in group])
+    subs = _jax.tree_util.tree_map(
+        lambda *xs: _np.stack(xs), *[b[1] for b in group])
+    return byte_spec_of(gs), byte_spec_of(subs)

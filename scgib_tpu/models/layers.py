@@ -104,7 +104,8 @@ class SegmentBatchNorm(nn.Module):
                  num_segments: int,
                  mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> jnp.ndarray:
-        from ..ops.segment import segment_count, segment_mean, segment_sum
+        from ..ops.segment import (segment_broadcast, segment_count,
+                                   segment_mean, segment_sum)
 
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
@@ -116,13 +117,13 @@ class SegmentBatchNorm(nn.Module):
 
         if train:
             mean_g = segment_mean(x, segment_ids, num_segments, mask)
-            centered = x - mean_g[segment_ids]
+            mean = segment_broadcast(mean_g, segment_ids, num_segments)
+            centered = x - mean
             count = segment_count(segment_ids, num_segments, mask)
             var_g = segment_sum(centered * centered, segment_ids,
                                 num_segments, mask)
             var_g = var_g / jnp.maximum(count, 1.0)[:, None]  # biased (norm)
-            mean = mean_g[segment_ids]
-            var = var_g[segment_ids]
+            var = segment_broadcast(var_g, segment_ids, num_segments)
             if not self.is_initializing():
                 seg_mask = count > 0
                 n_seg = jnp.maximum(jnp.sum(seg_mask.astype(jnp.float32)),

@@ -152,7 +152,8 @@ def recon_adj_loss(interaction_map: jnp.ndarray,
                    edge_mask: jnp.ndarray,
                    node_mask: jnp.ndarray,
                    axis_name: Optional[str] = None,
-                   impl: str = "gram") -> jnp.ndarray:
+                   impl: str = "gram",
+                   band=None) -> jnp.ndarray:
     """|| IM IM^T - A ||_F^2 / N_real over the batch-dense adjacency
     (models.py:762-768; the reference's denominator ``row_num`` is the real
     node count; its cross-graph off-diagonal zero blocks are reproduced
@@ -199,10 +200,22 @@ def recon_adj_loss(interaction_map: jnp.ndarray,
         raise ValueError(f"unknown recon impl {impl!r}")
 
     g_local = im.T @ im                     # [D, D] feature gram
-    # SDDMM: per-edge dot of endpoint rows (padding edges masked)
-    dots = jnp.sum(jnp.take(im, senders, axis=0)
-                   * jnp.take(im, receivers, axis=0), axis=-1)
-    cross = jnp.sum(dots * em)
+    if band is not None:
+        # banded MXU form of the edge cross term: with the banded
+        # block-dense adjacency A (masked edge weights, symmetric by
+        # packer construction), sum_e IM_s.IM_r = sum(IM * (A IM)).
+        # Forward AND backward are banded matmuls (banded_spmm's custom
+        # VJP) — the COO form below costs ~360 us/step at bench shapes
+        # in scatter-add gather transposes (profiler, round 3).
+        from ..ops.pallas.banded import spmm_banded_fast
+
+        blocks, col_off = band
+        cross = jnp.sum(im * spmm_banded_fast(blocks, col_off, im))
+    else:
+        # SDDMM: per-edge dot of endpoint rows (padding edges masked)
+        dots = jnp.sum(jnp.take(im, senders, axis=0)
+                       * jnp.take(im, receivers, axis=0), axis=-1)
+        cross = jnp.sum(dots * em)
     e_count = jnp.sum(em)
     if axis_name is None:
         total = jnp.sum(g_local * g_local) - 2.0 * cross + e_count

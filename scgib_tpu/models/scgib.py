@@ -35,7 +35,8 @@ from flax import linen as nn
 
 from ..graph.container import (DenseSubgraphBatch, GraphBatch,
                                SubgraphBatch)
-from ..ops.segment import (segment_softmax, segment_std_mean, segment_sum)
+from ..ops.segment import (segment_broadcast, segment_softmax,
+                           segment_std_mean, segment_sum)
 from .encoders import make_encoder
 from .layers import MLP2, SegmentBatchNorm
 from .losses import (contrastive_infonce, kl_loss, l2_normalize, mae_loss,
@@ -177,8 +178,9 @@ class SCGIBCore(nn.Module):
         h_static = jax.lax.stop_gradient(h)
         std_g, mean_g = segment_std_mean(h_static, g.node_graph,
                                          g.num_graphs, mask=g.node_mask)
-        mean_n = mean_g[g.node_graph]                            # [N, d]
-        std_n = std_g[g.node_graph]
+        mean_n = segment_broadcast(mean_g, g.node_graph,
+                                   g.num_graphs)                 # [N, d]
+        std_n = segment_broadcast(std_g, g.node_graph, g.num_graphs)
 
         noisy_mean = lam * h + lam_neg * mean_n
         noisy_std = lam_neg * std_n
@@ -196,7 +198,8 @@ class SCGIBCore(nn.Module):
         dev = (noisy_mean - mean_n) / denom
         term2_g = segment_sum(dev * dev, g.node_graph, g.num_graphs,
                               mask=g.node_mask)                  # [G, d]
-        kl_node = term1 + term2_g[g.node_graph]
+        kl_node = term1 + segment_broadcast(term2_g, g.node_graph,
+                                            g.num_graphs)
         kl_node = kl_node * g.node_mask.astype(kl_node.dtype)[:, None]
         return noisy, kl_node
 
@@ -206,7 +209,7 @@ class SCGIBCore(nn.Module):
         # 1-2. twin encoders over the graph batch and the flattened ego-nets
         enc_kw = {}
         sub_kw = {}
-        if self.encoder in ("GIN", "Transformer"):
+        if self.encoder in ("GIN", "GCN", "GraphSAGE", "Transformer"):
             band = _resolve_band(g)
             if band is not None:
                 enc_kw["band"] = band
@@ -237,8 +240,13 @@ class SCGIBCore(nn.Module):
             cand = jnp.sum(h_sub * sub.mask.astype(h_sub.dtype)[:, :, None],
                            axis=1)                               # [N, d]
         else:
-            cand = segment_sum(h_sub, sub.node_center, g.num_nodes,
-                               mask=sub.node_mask)               # [N, d]
+            # sorted-banded pooling: MXU matmul fwd + gather bwd instead
+            # of an XLA scatter-add (~140 us/step at bench shapes)
+            from ..ops.pool import sorted_segment_sum_banded
+
+            cand = sorted_segment_sum_banded(h_sub, sub.node_center,
+                                             g.num_nodes,
+                                             mask=sub.node_mask)  # [N, d]
 
         if not self.use_att:
             im = jnp.concatenate([noisy, cand], axis=-1)
@@ -254,7 +262,8 @@ class SCGIBCore(nn.Module):
                 self.s2s(noisy, g.node_graph, g.num_graphs,
                          mask=g.node_mask))
         inter = jnp.concatenate(
-            [noisy_readout[g.node_graph], cand], axis=-1)        # [N, 2d]
+            [segment_broadcast(noisy_readout, g.node_graph, g.num_graphs),
+             cand], axis=-1)                                     # [N, 2d]
         att = self.attn_layer(inter)[:, 0]
         alpha = segment_softmax(att, g.node_graph, g.num_graphs,
                                 mask=g.node_mask)
@@ -346,8 +355,17 @@ class PretrainModel(nn.Module):
         x_sub_raw = _sub_features(g, sub)
         x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
             x_sub_raw
-        x_proj = self.transfer_d(x)
-        x_sub_proj = self.transfer_d(x_sub)
+        # one concatenated projection instead of two: the [N, F] and
+        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
+        # combined fwd+bwd) — fusing them halves the fixed costs.
+        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
+        # project separately there)
+        if x_sub.ndim == x.ndim:
+            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
+            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
+        else:
+            x_proj = self.transfer_d(x)
+            x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
 
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
@@ -367,9 +385,12 @@ class PretrainModel(nn.Module):
                                           axis_name=self.axis_name)
 
         if self.recons_type == "adj":
+            # banded adjacency (if packed) turns the edge cross term into
+            # MXU matmuls; XLA CSEs the block build with the encoders'
+            band = _resolve_band(g) if self.recons_impl == "gram" else None
             recon = recon_adj_loss(im, g.senders, g.receivers, g.edge_mask,
                                    g.node_mask, axis_name=self.axis_name,
-                                   impl=self.recons_impl)
+                                   impl=self.recons_impl, band=band)
         elif self.recons_type == "logM":
             # explicit call args win; otherwise the batch carries them
             # (batch_iterator(logm_k=k) attaches block-diagonal targets)
@@ -433,8 +454,17 @@ class FinetuneModel(nn.Module):
         x_sub_raw = _sub_features(g, sub)
         x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
             x_sub_raw
-        x_proj = self.transfer_d(x)
-        x_sub_proj = self.transfer_d(x_sub)
+        # one concatenated projection instead of two: the [N, F] and
+        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
+        # combined fwd+bwd) — fusing them halves the fixed costs.
+        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
+        # project separately there)
+        if x_sub.ndim == x.ndim:
+            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
+            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
+        else:
+            x_proj = self.transfer_d(x)
+            x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
         pooled = self.s2s(im, g.node_graph, g.num_graphs,
@@ -487,8 +517,17 @@ class DomainAdaptModel(nn.Module):
         x_sub_raw = _sub_features(g, sub)
         x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
             x_sub_raw
-        x_proj = self.transfer_d(x)
-        x_sub_proj = self.transfer_d(x_sub)
+        # one concatenated projection instead of two: the [N, F] and
+        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
+        # combined fwd+bwd) — fusing them halves the fixed costs.
+        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
+        # project separately there)
+        if x_sub.ndim == x.ndim:
+            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
+            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
+        else:
+            x_proj = self.transfer_d(x)
+            x_sub_proj = self.transfer_d(x_sub)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)
         pooled = self.s2s(im, g.node_graph, g.num_graphs, mask=g.node_mask)

@@ -20,7 +20,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.segment import segment_softmax, segment_sum
+from ..ops.segment import (segment_broadcast, segment_softmax,
+                           segment_sum)
 
 
 class Set2Set(nn.Module):
@@ -39,7 +40,8 @@ class Set2Set(nn.Module):
                  jnp.zeros((g, d), dtype=x.dtype))
         for _ in range(self.n_iters):
             carry, q = cell(carry, q_star)
-            e = jnp.sum(x * q[segment_ids], axis=-1)
+            e = jnp.sum(x * segment_broadcast(q, segment_ids, g),
+                        axis=-1)
             a = segment_softmax(e, segment_ids, g, mask=mask)
             r = segment_sum(x * a[:, None], segment_ids, g, mask=mask)
             q_star = jnp.concatenate([q, r], axis=-1)

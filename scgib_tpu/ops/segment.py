@@ -71,6 +71,13 @@ def _segment_sum_dense(data: jnp.ndarray, segment_ids: jnp.ndarray,
     n = data.shape[0]
     oh = _onehot(segment_ids, num_segments, data.dtype)
     flat = data.reshape(n, -1)
+    # rows with out-of-range segment ids get a zero one-hot COLUMN, but a
+    # non-finite value there would still poison the matmul (0 * inf =
+    # NaN contaminates the whole output column) — drop the rows
+    # themselves, matching jax.ops.segment_sum's drop semantics
+    # (ADVICE round 2).
+    in_range = (segment_ids >= 0) & (segment_ids < num_segments)
+    flat = jnp.where(in_range[:, None], flat, 0)
     out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
     return out.reshape((num_segments,) + data.shape[1:])
 
@@ -88,6 +95,72 @@ def segment_sum(data: jnp.ndarray,
     return jax.ops.segment_sum(data, segment_ids,
                                num_segments=num_segments,
                                indices_are_sorted=indices_are_sorted)
+
+
+from functools import partial as _partial
+
+
+def segment_broadcast(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                      num_segments: int) -> jnp.ndarray:
+    """``values[segment_ids]`` with a scatter-free backward.
+
+    Plain autodiff transposes the gather into an XLA scatter-add, which
+    serializes on TPU (~36 us per site at bench shapes — the profiler
+    showed ~250 us/step across the model's broadcast sites).  On the
+    dense fast path the broadcast is instead written as an MXU matmul
+    with the [N, S] one-hot assignment matrix: XLA transposes a
+    dot_general into another dot_general, so BOTH directions are matmuls
+    and no opaque custom-VJP boundary blocks fusion.  The one-hot build
+    is batch-constant, so loop-invariant code motion hoists it out of
+    scanned training steps.
+
+    Semantics match ``values[segment_ids]`` exactly, including padding
+    rows (whatever cotangent arrives at a padded row is accumulated into
+    its segment, just as the scatter would — callers mask downstream, so
+    those cotangents are zero).  ``num_segments`` must equal
+    ``values.shape[0]``.
+    """
+    if (jnp.issubdtype(values.dtype, jnp.inexact)
+            and _dense_ok(segment_ids.shape[0], num_segments)):
+        # clip like jnp.take's default out-of-bounds mode so both paths
+        # agree on out-of-range ids (they pick the edge row)
+        cids = jnp.clip(segment_ids, 0, num_segments - 1)
+        iota = jax.lax.iota(jnp.int32, num_segments)
+        oh = (cids[:, None] == iota[None, :]).astype(values.dtype)
+        flat = values.reshape(num_segments, -1)
+        out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(segment_ids.shape[:1] + values.shape[1:])
+    return _segment_broadcast_take(values, segment_ids, num_segments)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _segment_broadcast_take(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                            num_segments: int) -> jnp.ndarray:
+    """Gather fallback (large S*N): custom VJP routes the cotangent
+    through :func:`segment_sum` instead of the gather's scatter
+    transpose."""
+    del num_segments
+    return jnp.take(values, segment_ids, axis=0, mode="clip")
+
+
+def _segment_broadcast_fwd(values, segment_ids, num_segments):
+    return jnp.take(values, segment_ids, axis=0, mode="clip"), segment_ids
+
+
+def _segment_broadcast_bwd(num_segments, segment_ids, g):
+    # clip, matching the forward's take(mode="clip"): an out-of-range
+    # row read the edge segment, so its cotangent flows back there
+    cids = jnp.clip(segment_ids, 0, num_segments - 1)
+    return (segment_sum(g, cids, num_segments), None)
+
+
+_segment_broadcast_take.defvjp(_segment_broadcast_fwd,
+                               _segment_broadcast_bwd)
+
+
+def broadcast(values: jnp.ndarray, segment_ids: jnp.ndarray) -> jnp.ndarray:
+    """``segment_broadcast`` with ``num_segments`` taken from ``values``."""
+    return segment_broadcast(values, segment_ids, values.shape[0])
 
 
 def segment_count(segment_ids: jnp.ndarray,
@@ -125,7 +198,7 @@ def segment_std_mean(data: jnp.ndarray,
     """
     mean = segment_mean(data, segment_ids, num_segments, mask,
                         indices_are_sorted)
-    centered = data - mean[segment_ids]
+    centered = data - segment_broadcast(mean, segment_ids, num_segments)
     sq = segment_sum(centered * centered, segment_ids, num_segments, mask,
                      indices_are_sorted)
     count = segment_count(segment_ids, num_segments, mask, indices_are_sorted)
@@ -173,12 +246,12 @@ def segment_softmax(logits: jnp.ndarray,
         # post-exp mask multiply turns inf * 0 into NaN.  exp(-inf) = 0
         # keeps value and gradient clean.
         logits = jnp.where(mask, logits, -jnp.inf)
-    shifted = logits - seg_max[segment_ids]
+    shifted = logits - segment_broadcast(seg_max, segment_ids, num_segments)
     e = jnp.exp(shifted)
     denom = segment_sum(e, segment_ids, num_segments, None,
                         indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)
-    return e / denom[segment_ids]
+    return e / segment_broadcast(denom, segment_ids, num_segments)
 
 
 def segment_normalize_exp(scores: jnp.ndarray,
@@ -195,4 +268,4 @@ def segment_normalize_exp(scores: jnp.ndarray,
     e = jnp.exp(jnp.clip(scores, -clamp, clamp))
     e = _apply_mask(e, mask)
     z = segment_sum(e, segment_ids, num_segments, None, indices_are_sorted)
-    return e / (z + eps)[segment_ids]
+    return e / segment_broadcast(z + eps, segment_ids, num_segments)

@@ -15,13 +15,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _banded_spmm_impl(blocks, col_off, h):
+def _banded_spmm_impl(blocks, col_off, h, precision=None):
+    """``precision=None`` (default) uses the TPU's native matmul mode —
+    bf16 multiplicands with f32 accumulation, the same mode every flax
+    Dense and the Pallas kernels run in (~1.7e-3 relative vs exact f32,
+    standard mixed-precision training numerics).  Pass
+    ``jax.lax.Precision.HIGHEST`` where exact-f32 sums matter (the
+    candidate pooling does — ops/pool.py)."""
     n_tiles, tile, band = blocks.shape
     d = h.shape[-1]
 
     def one(block, off):
         win = jax.lax.dynamic_slice(h, (off, 0), (band, d))
-        return jnp.dot(block, win, preferred_element_type=h.dtype)
+        return jnp.dot(block, win, preferred_element_type=h.dtype,
+                       precision=precision)
 
     out = jax.vmap(one)(blocks, col_off)          # [T, tile, d]
     return out.reshape(n_tiles * tile, d)

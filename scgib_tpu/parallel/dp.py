@@ -39,6 +39,16 @@ from ..train.trainer import TrainState
 DATA_AXIS = "data"
 
 
+
+def _model_rngs(rng):
+    """RNG streams for model.apply: 'noise' (compression gate + feature
+    noise) always; 'dropout' derived for encoders that use flax Dropout
+    (the graph transformer, reference models.py:860) — flax ignores
+    streams a module does not request."""
+    import jax as _jax
+
+    return {"noise": rng, "dropout": _jax.random.fold_in(rng, 0x5eed)}
+
 def make_mesh(devices: Sequence[jax.Device] | None = None,
               axis: str = DATA_AXIS) -> Mesh:
     """1-D data mesh over all (or the given) devices."""
@@ -99,7 +109,7 @@ def make_dp_pretrain_step(model, tx: optax.GradientTransformation,
             losses, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 g, sub, train=True, mutable=["batch_stats"],
-                rngs={"noise": rng})
+                rngs=_model_rngs(rng))
             return losses.total, (losses, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -143,7 +153,7 @@ def make_dp_finetune_step(model, tx: optax.GradientTransformation,
             scores, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 g, sub, train=True, mutable=["batch_stats"],
-                rngs={"noise": rng})
+                rngs=_model_rngs(rng))
             mask = g.label_mask
             if mask is not None:
                 mask = mask & g.graph_mask[:, None]

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.segment import segment_max, segment_sum
+from ..ops.segment import segment_broadcast, segment_max, segment_sum
 
 
 def gseg_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
@@ -58,7 +58,7 @@ def gseg_std_mean(data: jnp.ndarray, segment_ids: jnp.ndarray,
     ``ops.segment.segment_std_mean`` (torch.std_mean ddof=1 semantics,
     models.py:647) exactly on the union batch."""
     mean = gseg_mean(data, segment_ids, num_segments, axis_name, mask)
-    centered = data - mean[segment_ids]
+    centered = data - segment_broadcast(mean, segment_ids, num_segments)
     sq = gseg_sum(centered * centered, segment_ids, num_segments,
                   axis_name, mask)
     count = gseg_count(segment_ids, num_segments, axis_name, mask)
@@ -90,11 +90,12 @@ def gseg_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
         # mask BEFORE exp (see ops.segment.segment_softmax): padded rows
         # would otherwise overflow exp and poison the sum with inf * 0
         logits = jnp.where(mask, logits, -jnp.inf)
-    shifted = logits - seg_max[segment_ids]
+    shifted = logits - segment_broadcast(seg_max, segment_ids,
+                                          num_segments)
     e = jnp.exp(shifted)
     denom = gseg_sum(e, segment_ids, num_segments, axis_name)
     denom = jnp.maximum(denom, 1e-16)
-    return e / denom[segment_ids]
+    return e / segment_broadcast(denom, segment_ids, num_segments)
 
 
 def ring_sddmm_sum(x: jnp.ndarray,

@@ -49,6 +49,16 @@ from .sharded_ops import (gseg_softmax, gseg_std_mean, gseg_sum,
                           ring_sddmm_sum)
 
 
+
+def _model_rngs(rng):
+    """RNG streams for model.apply: 'noise' (compression gate + feature
+    noise) always; 'dropout' derived for encoders that use flax Dropout
+    (the graph transformer, reference models.py:860) — flax ignores
+    streams a module does not request."""
+    import jax as _jax
+
+    return {"noise": rng, "dropout": _jax.random.fold_in(rng, 0x5eed)}
+
 class ShardedSegmentBatchNorm(nn.Module):
     """Per-graph BatchNorm with cross-shard segment statistics — the
     node-sharded form of ``models.layers.SegmentBatchNorm`` (same param /
@@ -63,6 +73,7 @@ class ShardedSegmentBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, segment_ids, num_segments, mask=None,
                  train: bool = True):
+        from ..ops.segment import segment_broadcast
         from .sharded_ops import gseg_count, gseg_mean
 
         features = x.shape[-1]
@@ -76,14 +87,14 @@ class ShardedSegmentBatchNorm(nn.Module):
         if train:
             mean_g = gseg_mean(x, segment_ids, num_segments,
                                self.axis_name, mask)
-            centered = x - mean_g[segment_ids]
+            mean = segment_broadcast(mean_g, segment_ids, num_segments)
+            centered = x - mean
             count = gseg_count(segment_ids, num_segments, self.axis_name,
                                mask)
             var_g = gseg_sum(centered * centered, segment_ids,
                              num_segments, self.axis_name, mask)
             var_g = var_g / jnp.maximum(count, 1.0)[:, None]
-            mean = mean_g[segment_ids]
-            var = var_g[segment_ids]
+            var = segment_broadcast(var_g, segment_ids, num_segments)
             if not self.is_initializing():
                 seg_mask = count > 0
                 n_seg = jnp.maximum(
@@ -325,7 +336,7 @@ def make_sharded_pretrain_step(model: ShardedPretrainModel, tx, mesh):
             losses, mutated = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 b, train=True, mutable=["batch_stats"],
-                rngs={"noise": rng})
+                rngs=_model_rngs(rng))
             return losses.total, (losses, mutated["batch_stats"])
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -50,7 +50,9 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     log: Optional[Callable[[str], None]] = print,
                     autosave_path: Optional[str] = None,
                     autosave_every: int = 1,
-                    logm_k: Optional[int] = None
+                    logm_k: Optional[int] = None,
+                    superbatch_k: int = 0,
+                    superbatch_specs=None
                     ) -> Tuple[TrainState, Dict]:
     """One pretraining stage.  Returns (final state, info) where
     info['best_variables'] are the best-train-loss weights.
@@ -89,20 +91,41 @@ def run_pretraining(step_fn: Callable, state: TrainState,
     for epoch in range(start_epoch, epochs):
         total = 0.0
         nb = 0
-        # background packer + async device upload (double buffered): the
-        # padded batch (incl. band blocks) is tens of MB — re-uploading
-        # it synchronously per step would dominate the step time
-        for g, sub in prefetch_to_device(
-                batch_iterator(ds, batch_size, caps, shuffle=True,
-                               seed=seed + epoch, logm_k=logm_k)):
-            rng, k = jax.random.split(rng)
-            n_edges = int(np.asarray(g.edge_mask).sum()
-                          + np.asarray(sub.edge_mask).sum())
-            with timer.step(edges=n_edges,
-                            graphs=int(np.asarray(g.graph_mask).sum())):
-                state, losses = step_fn(state, g, sub, k)
-                total += float(losses.total)   # sync point inside timing
-            nb += 1
+        if superbatch_k:
+            # wire-superbatch transport: K batches ship as ONE uint8
+            # buffer pair + ONE dispatch of K real optimizer steps
+            # (step_fn from make_pretrain_superbatch_step(byte_specs=...));
+            # amortizes the host<->device round trip K-fold — required
+            # for production throughput on remote/tunneled links
+            from ..data.loader import wire_superbatches
+
+            for gbuf, sbuf, n_edges in prefetch_to_device(
+                    wire_superbatches(ds, batch_size, caps, superbatch_k,
+                                      shuffle=True, seed=seed + epoch,
+                                      logm_k=logm_k,
+                                      byte_specs=superbatch_specs)):
+                rng, k = jax.random.split(rng)
+                with timer.step(edges=int(n_edges),
+                                graphs=batch_size * superbatch_k):
+                    state, losses = step_fn(state, gbuf, sbuf, k)
+                    total += float(np.sum(np.asarray(losses.total)))
+                nb += superbatch_k
+        else:
+            # background packer + async device upload (double buffered):
+            # the padded batch (incl. band blocks) is tens of MB —
+            # re-uploading it synchronously per step would dominate the
+            # step time
+            for g, sub in prefetch_to_device(
+                    batch_iterator(ds, batch_size, caps, shuffle=True,
+                                   seed=seed + epoch, logm_k=logm_k)):
+                rng, k = jax.random.split(rng)
+                n_edges = int(np.asarray(g.edge_mask).sum()
+                              + np.asarray(sub.edge_mask).sum())
+                with timer.step(edges=n_edges,
+                                graphs=int(np.asarray(g.graph_mask).sum())):
+                    state, losses = step_fn(state, g, sub, k)
+                    total += float(losses.total)   # sync inside timing
+                nb += 1
         epoch_loss = total / max(nb, 1)
         history.append(epoch_loss)
         if log:

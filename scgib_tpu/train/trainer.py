@@ -36,6 +36,16 @@ from ..models.losses import (bce_loss, bce_with_logits_loss,
                              cross_entropy_loss, mae_loss, rmse_loss)
 
 
+
+def _model_rngs(rng):
+    """RNG streams for model.apply: 'noise' (compression gate + feature
+    noise) always; 'dropout' derived for encoders that use flax Dropout
+    (the graph transformer, reference models.py:860) — flax ignores
+    streams a module does not request."""
+    import jax as _jax
+
+    return {"noise": rng, "dropout": _jax.random.fold_in(rng, 0x5eed)}
+
 def init_model(model, rngs, *args, **kwargs):
     """``model.init`` under jit.
 
@@ -95,7 +105,7 @@ def make_pretrain_step(model, tx: optax.GradientTransformation,
         losses, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, sub, train=True, mutable=["batch_stats"],
-            rngs={"noise": rng})
+            rngs=_model_rngs(rng))
         return losses.total, (losses, mutated["batch_stats"])
 
     if remat:
@@ -134,7 +144,7 @@ def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
             return model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 g, sub, train=True, mutable=["batch_stats"],
-                rngs={"noise": rng})
+                rngs=_model_rngs(rng))
 
         if remat:
             fwd = jax.checkpoint(fwd)
@@ -189,7 +199,7 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
         losses, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, sub, train=True, mutable=["batch_stats"],
-            rngs={"noise": rng})
+            rngs=_model_rngs(rng))
         return losses.total, (losses, mutated["batch_stats"])
 
     def step(state: TrainState, gs, subs, rng):
@@ -267,7 +277,7 @@ def make_finetune_step(model, tx: optax.GradientTransformation,
         scores, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, sub, train=True, mutable=["batch_stats"],
-            rngs={"noise": rng})
+            rngs=_model_rngs(rng))
         mask = g.label_mask
         if mask is not None:
             mask = mask & g.graph_mask[:, None]
@@ -317,7 +327,7 @@ def make_domainadapt_step(model, tx: optax.GradientTransformation,
         loss, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, sub, train=True, mutable=["batch_stats"],
-            rngs={"noise": rng})
+            rngs=_model_rngs(rng))
         return loss, (loss, mutated["batch_stats"])
 
     def step(state: TrainState, g: GraphBatch, sub: SubgraphBatch,
@@ -342,7 +352,7 @@ def make_eval_fn(model) -> Callable:
     @jax.jit
     def run(variables, g: GraphBatch, sub: SubgraphBatch, rng):
         return model.apply(variables, g, sub, train=False,
-                           rngs={"noise": rng})
+                           rngs=_model_rngs(rng))
 
     return run
 

@@ -146,3 +146,22 @@ def test_cli_download_command(http_root, tmp_path):
 def test_unknown_dataset_raises(tmp_path):
     with pytest.raises(KeyError):
         download_dataset("nope", str(tmp_path))
+
+
+def test_flatten_zip_rejects_zip_slip(tmp_path):
+    """A crafted member like ``top/../../escape.txt`` must not write
+    outside the extraction root (ADVICE round 2: zip-slip in the manual
+    flatten-zip writer)."""
+    from scgib_tpu.data.download import _extract
+
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("top/../../escape.txt", b"pwned")
+        zf.writestr("top/ok.txt", b"fine")
+    root = tmp_path / "root"
+    root.mkdir()
+    _extract(str(evil), str(root), "flatten-zip")
+    # the traversal components are stripped, not honored
+    assert not (tmp_path / "escape.txt").exists()
+    assert (root / "ok.txt").read_bytes() == b"fine"
+    assert (root / "escape.txt").exists()      # neutralized in-root

@@ -72,3 +72,47 @@ def test_full_pipeline_learns():
                           patience=12, log=None)
     # chance is 0.5; the planted signal is strong
     assert result["test_at_best_val"] > 0.85, result
+
+
+def test_pretrain_superbatch_loop(tmp_path):
+    """Wire-superbatch epoch loop: runs, improves, and autosave-resumes."""
+    import jax
+    import numpy as np
+
+    from scgib_tpu.data.loader import (GraphDataset, plan_capacities,
+                                       superbatch_specs)
+    from scgib_tpu.data.synthetic import random_dataset
+    from scgib_tpu.models.scgib import PretrainModel
+    from scgib_tpu.train.loops import run_pretraining
+    from scgib_tpu.train.trainer import (TrainState, adam_l2, init_model,
+                                         make_pretrain_superbatch_step)
+    from scgib_tpu.data.loader import batch_iterator
+
+    ds = GraphDataset(random_dataset(64, seed=0, min_nodes=6, max_nodes=14,
+                                     feat_dim=9), k=1)
+    caps = plan_capacities(ds, 16)
+    model = PretrainModel(in_dim=9, hidden=16, d_transfer=8)
+    tx = adam_l2(1e-3)
+    g0, sub0 = next(batch_iterator(ds, 16, caps, shuffle=False))
+    variables = init_model(model, {"params": jax.random.PRNGKey(0),
+                                   "noise": jax.random.PRNGKey(1)},
+                           g0, sub0, train=True)
+    specs = superbatch_specs(ds, 16, caps, 2)
+    step = make_pretrain_superbatch_step(model, tx, byte_specs=specs)
+    state = TrainState.create(variables, tx)
+    autosave = str(tmp_path / "auto.msgpack")
+    state, info = run_pretraining(step, state, ds, caps, 16, epochs=3,
+                                  seed=1, superbatch_k=2,
+                                  superbatch_specs=specs,
+                                  autosave_path=autosave, log=None)
+    assert np.isfinite(info["best_loss"])
+    assert len(info["history"]) == 3
+    assert info["history"][-1] < info["history"][0]
+
+    # resume: a fresh state picks up at epoch 3 and runs 2 more
+    state2 = TrainState.create(variables, tx)
+    state2, info2 = run_pretraining(step, state2, ds, caps, 16, epochs=5,
+                                    seed=1, superbatch_k=2,
+                                    superbatch_specs=specs,
+                                    autosave_path=autosave, log=None)
+    assert len(info2["history"]) == 3 + 2  # 3 restored + 2 new

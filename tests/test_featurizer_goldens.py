@@ -46,7 +46,7 @@ GOLDENS = {
     "CC(=O)C": [C(4, 3, 2), C(3, 0, 1), [7, 0, 1, 5, 0, 0, 1, 0, 0],
                 C(4, 3, 2)],
     "CC(=O)O": [C(4, 3, 2), C(3, 0, 1), [7, 0, 1, 5, 0, 0, 1, 0, 0],
-                [7, 0, 2, 5, 1, 0, 2, 0, 0]],
+                [7, 0, 2, 5, 1, 0, 1, 0, 0]],   # OH oxygen conjugated: SP2
     # --- nitrogens -----------------------------------------------------
     "N": [[6, 0, 3, 5, 3, 0, 2, 0, 0]],
     "CN": [C(4, 3, 2), [6, 0, 3, 5, 2, 0, 2, 0, 0]],
@@ -75,7 +75,7 @@ GOLDENS = {
                      C(4, 3, 2), C(4, 3, 2), C(4, 3, 2)],
     "C[N+](=O)[O-]": [C(4, 3, 2), [6, 0, 3, 6, 0, 0, 1, 0, 0],
                       [7, 0, 1, 5, 0, 0, 1, 0, 0],
-                      [7, 0, 1, 4, 0, 0, 2, 0, 0]],
+                      [7, 0, 1, 4, 0, 0, 1, 0, 0]],  # O^- conjugated: SP2
     # --- halogens --------------------------------------------------------
     "CF": [C(4, 3, 2), [8, 0, 1, 5, 0, 0, 2, 0, 0]],
     "CCl": [C(4, 3, 2), [16, 0, 1, 5, 0, 0, 2, 0, 0]],
@@ -108,11 +108,33 @@ GOLDENS = {
     "C[C@H](N)C(=O)O": [C(4, 3, 2), [5, 2, 4, 5, 1, 0, 2, 0, 0],
                         [6, 0, 3, 5, 2, 0, 2, 0, 0], C(3, 0, 1),
                         [7, 0, 1, 5, 0, 0, 1, 0, 0],
-                        [7, 0, 2, 5, 1, 0, 2, 0, 0]],
+                        [7, 0, 2, 5, 1, 0, 1, 0, 0]],  # carboxyl OH SP2
     "C[C@@H](N)C(=O)O": [C(4, 3, 2), [5, 1, 4, 5, 1, 0, 2, 0, 0],
                          [6, 0, 3, 5, 2, 0, 2, 0, 0], C(3, 0, 1),
                          [7, 0, 1, 5, 0, 0, 1, 0, 0],
-                         [7, 0, 2, 5, 1, 0, 2, 0, 0]],
+                         [7, 0, 2, 5, 1, 0, 1, 0, 0]],  # carboxyl OH SP2
+    # --- conjugation-aware hybridization + kekulized-notation aromaticity
+    # (VERDICT round-2 item 4).  Each vector hand-checked against RDKit
+    # semantics: amide/aniline/guanidine N, ester/phenol/anisole O -> SP2;
+    # kekulized benzene/pyridine/pyrrole/naphthalene perceived aromatic
+    # with unchanged H counts; quinone NOT aromatic (exocyclic C=O
+    # contributes 0 pi electrons); thioanisole S and phenylphosphine P
+    # stay SP3 (first-row-only conjugation candidates, the Issue211
+    # behavior); cyclohexene stays non-aromatic.
+    "CC(N)=O": [[5, 0, 4, 5, 3, 0, 2, 0, 0], [5, 0, 3, 5, 0, 0, 1, 0, 0], [6, 0, 3, 5, 2, 0, 1, 0, 0], [7, 0, 1, 5, 0, 0, 1, 0, 0]],
+    "Nc1ccccc1": [[6, 0, 3, 5, 2, 0, 1, 0, 0], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "CC(=O)OC": [[5, 0, 4, 5, 3, 0, 2, 0, 0], [5, 0, 3, 5, 0, 0, 1, 0, 0], [7, 0, 1, 5, 0, 0, 1, 0, 0], [7, 0, 2, 5, 0, 0, 1, 0, 0], [5, 0, 4, 5, 3, 0, 2, 0, 0]],
+    "Oc1ccccc1": [[7, 0, 2, 5, 1, 0, 1, 0, 0], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "COc1ccccc1": [[5, 0, 4, 5, 3, 0, 2, 0, 0], [7, 0, 2, 5, 0, 0, 1, 0, 0], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "C1=CC=CC=C1": [[5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "C1=CC=NC=C1": [[5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [6, 0, 2, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "C1=CC=CN1": [[5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [6, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "O=C1C=CC(=O)C=C1": [[7, 0, 1, 5, 0, 0, 1, 0, 0], [5, 0, 3, 5, 0, 0, 1, 0, 1], [5, 0, 3, 5, 1, 0, 1, 0, 1], [5, 0, 3, 5, 1, 0, 1, 0, 1], [5, 0, 3, 5, 0, 0, 1, 0, 1], [7, 0, 1, 5, 0, 0, 1, 0, 0], [5, 0, 3, 5, 1, 0, 1, 0, 1], [5, 0, 3, 5, 1, 0, 1, 0, 1]],
+    "CSc1ccccc1": [[5, 0, 4, 5, 3, 0, 2, 0, 0], [15, 0, 2, 5, 0, 0, 2, 0, 0], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "Pc1ccccc1": [[14, 0, 3, 5, 2, 0, 2, 0, 0], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "NC(=N)N": [[6, 0, 3, 5, 2, 0, 1, 0, 0], [5, 0, 3, 5, 0, 0, 1, 0, 0], [6, 0, 2, 5, 1, 0, 1, 0, 0], [6, 0, 3, 5, 2, 0, 1, 0, 0]],
+    "C1=CC2=CC=CC=C2C=C1": [[5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 0, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1], [5, 0, 3, 5, 1, 0, 1, 1, 1]],
+    "C1=CCCCC1": [[5, 0, 3, 5, 1, 0, 1, 0, 1], [5, 0, 3, 5, 1, 0, 1, 0, 1], [5, 0, 4, 5, 2, 0, 2, 0, 1], [5, 0, 4, 5, 2, 0, 2, 0, 1], [5, 0, 4, 5, 2, 0, 2, 0, 1], [5, 0, 4, 5, 2, 0, 2, 0, 1]],
     # --- isotopes (OGB keys on atomic number only) ------------------------
     "[13CH4]": [[5, 0, 4, 5, 4, 0, 2, 0, 0]],
     # --- disconnected salt: isolated ions hybridize 'S' -> OGB 'misc' -----
