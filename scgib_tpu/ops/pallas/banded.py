@@ -36,6 +36,17 @@ from ..spmm_banded import banded_spmm
 
 _TILES_PER_PROGRAM = 4
 
+def _vmem_limit(*sizes_f32):
+    """Scoped-VMEM cap for a kernel holding the given f32 element counts.
+
+    2x headroom over the analytic estimate, floored at 8 MB: the 1.2x
+    margin used previously was ~100 KB too tight at real-data shapes
+    (n=5888, 46 tiles -> scoped-vmem OOM in the curriculum run and in
+    fwd-only closed_call contexts, round-2/3).  VMEM is 128 MB on v5e;
+    a generous cap costs nothing when actual usage is lower."""
+    est = 2 * 4 * sum(sizes_f32) + (1 << 20)
+    return max(est, 8 << 20)
+
 
 def _kernel(col_off_ref, h_ref, blocks_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, out_ref):
@@ -89,8 +100,8 @@ def _forward(blocks, col_off, h, w1, b1, w2, b2):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (n * d + 2 * tp * tile * band
-                                        + band * d) * 4) + (1 << 20)),
+            vmem_limit_bytes=_vmem_limit(n * d, 2 * tp * tile * band,
+                                         band * d, tp * tile * d_out)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * (band + w1.shape[1]
                                         + d_out) * d,
@@ -205,8 +216,9 @@ def _backward_fused(blocks, col_off, h, g, w1, b1, w2):
             jax.ShapeDtypeStruct((n_prog, 1, d_out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (n * d + tp * tile * (band + d_out)
-                                        + 2 * d * dh_mid) * 4) + (1 << 20)),
+            vmem_limit_bytes=_vmem_limit(n * d, tp * tile * (band + d_out),
+                                         2 * d * dh_mid, tp * tile * d,
+                                         band * d)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * (band * d + 3 * d * dh_mid
                                         + 2 * dh_mid * d_out),
@@ -230,8 +242,8 @@ def _backward_fused(blocks, col_off, h, g, w1, b1, w2):
         grid_spec=grid_spec2,
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (n * d + tp * tile * band) * 4)
-            + (1 << 20)),
+            vmem_limit_bytes=_vmem_limit(n * d, tp * tile * band,
+                                         band * d, tp * tile * d)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * band * d,
             bytes_accessed=4 * (2 * n * d + blocks.size),
@@ -271,8 +283,8 @@ def _spmm_pallas(blocks, col_off, x):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (n * d + tp * tile * band) * 4)
-            + (1 << 20)),
+            vmem_limit_bytes=_vmem_limit(n * d, tp * tile * band,
+                                         band * d, tp * tile * d)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_tiles * tile * band * d,
             bytes_accessed=4 * (2 * n * d + blocks.size),
