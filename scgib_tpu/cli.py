@@ -173,13 +173,13 @@ def cmd_pretrain(args):
     sb = getattr(args, "superbatch", 0)
     sb_specs = None
     if sb:
-        from .data.loader import superbatch_specs
+        from .data.loader import superbatch_spec
         from .train.trainer import make_pretrain_superbatch_step
 
-        sb_specs = superbatch_specs(ds, args.batch_size, caps, sb,
-                                    logm_k=logm_k)
+        sb_specs = superbatch_spec(ds, args.batch_size, caps, sb,
+                                   logm_k=logm_k)
         step = make_pretrain_superbatch_step(model, tx,
-                                             byte_specs=sb_specs)
+                                             byte_spec=sb_specs)
     else:
         step = make_pretrain_step(model, tx)
     state, info = run_pretraining(step, state, ds, caps, args.batch_size,
@@ -270,13 +270,13 @@ def _run_curriculum(args):
         sb = getattr(args, "superbatch", 0)
         sb_specs = None
         if sb:
-            from .data.loader import superbatch_specs
+            from .data.loader import superbatch_spec
             from .train.trainer import make_pretrain_superbatch_step
 
-            sb_specs = superbatch_specs(ds, args.batch_size, caps, sb,
-                                        logm_k=logm_k)
+            sb_specs = superbatch_spec(ds, args.batch_size, caps, sb,
+                                       logm_k=logm_k)
             step = make_pretrain_superbatch_step(model, tx,
-                                                 byte_specs=sb_specs)
+                                                 byte_spec=sb_specs)
         else:
             step = make_pretrain_step(model, tx)
         print(f"stage {stage_i} ({name}): {len(ds)} graphs, "

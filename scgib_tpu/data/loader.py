@@ -260,29 +260,88 @@ def prefetch_to_device(it: Iterator, size: int = 2,
         yield item
 
 
+def wire_compact_ok(ds: GraphDataset) -> bool:
+    """True when every possible batch of ``ds`` fits the compact
+    (delta/offset) wire encoding of graph/wire.py:
+
+      * int8 sender offsets need |sender - receiver| <= 127 — bounded by
+        the largest graph (node edges) / ego-net (sub edges) span;
+      * uint8 receiver deltas need every gap between consecutive
+        edge-receiving rows <= 255, in ANY graph order — verified from
+        per-graph internal gaps plus the worst cross-graph boundary
+        (suffix_i + prefix_j + 1); graphs with no edges at all would make
+        the boundary unbounded, so they disqualify.
+    """
+    if not ds.graphs:
+        return False
+    max_n = max(g.num_nodes for g in ds.graphs)
+    max_ego = max((len(nl) for ego in ds.egonets
+                   for nl in ego.node_lists), default=0)
+    if max_n > 120 or max_ego > 120:
+        return False
+
+    def gap_stats(receivers, region):
+        if len(receivers) == 0:
+            return None
+        r = np.unique(np.asarray(receivers, np.int64))
+        internal = int(np.diff(r).max()) if len(r) > 1 else 0
+        return internal, int(r[0]), int(region - 1 - r[-1])
+
+    def family_ok(per_graph):
+        internal = prefix = suffix = 0
+        for st in per_graph:
+            if st is None:
+                return False
+            internal = max(internal, st[0])
+            prefix = max(prefix, st[1])
+            suffix = max(suffix, st[2])
+        return internal <= 255 and (suffix + prefix + 1) <= 255
+
+    node_stats = [gap_stats(g.receivers, g.num_nodes) for g in ds.graphs]
+    sub_stats = []
+    for ego in ds.egonets:
+        f = ego.flat()
+        sub_stats.append(gap_stats(f.receivers, int(f.node_off[-1])))
+    return family_ok(node_stats) and family_ok(sub_stats)
+
+
+def _stack_group(group):
+    import jax as _jax
+    import numpy as _np
+
+    gs = _jax.tree_util.tree_map(
+        lambda *xs: _np.stack(xs), *[b[0] for b in group])
+    subs = _jax.tree_util.tree_map(
+        lambda *xs: _np.stack(xs), *[b[1] for b in group])
+    return gs, subs
+
+
 def wire_superbatches(ds: GraphDataset, batch_size: int, caps: Capacities,
                       super_k: int, shuffle: bool = True, seed: int = 0,
                       workers: int = 4, logm_k: Optional[int] = None,
-                      byte_specs=None):
-    """Yield ``(g_bytes, sub_bytes, real_edges)`` wire superbatches.
+                      byte_spec=None, compact: Optional[bool] = None):
+    """Yield ``(bytes, real_edges)`` wire superbatches.
 
     K packed batches are converted to the compact wire format
-    (graph/wire.py), stacked on a leading [K] axis, and serialized into
-    ONE uint8 buffer per pytree (``pack_bytes``) — a single device_put
-    per superbatch instead of one per leaf, which removes the per-put
-    round-trip latency that dominates a tunneled/remote link.  Consumed
-    by ``make_pretrain_superbatch_step(byte_specs=...)``.
+    (graph/wire.py), stacked on a leading [K] axis, and the combined
+    ``(gs, subs)`` pytree serialized into ONE uint8 buffer
+    (``pack_bytes``) — a single device_put (and a single transfer round
+    trip) per superbatch, which removes the per-put latency that
+    dominates a tunneled/remote link.  Consumed by
+    ``make_pretrain_superbatch_step(byte_spec=...)``.
 
-    ``byte_specs``: pass the pair from :func:`superbatch_specs` (also
-    used to build the step function); computed from the first group if
-    omitted.  A trailing group smaller than ``super_k`` is dropped
-    (epochs chain in callers, so no data is permanently lost).
+    ``byte_spec``: pass the spec from :func:`superbatch_spec` (also used
+    to build the step function); computed from the first group if
+    omitted.  ``compact=None`` auto-enables delta/offset edge encoding
+    (2 bytes/edge) when :func:`wire_compact_ok`.  A trailing group
+    smaller than ``super_k`` is dropped (epochs chain in callers, so no
+    data is permanently lost).
     """
-    import numpy as _np
-
     from ..graph.wire import (byte_spec_of, pack_bytes, to_wire_graph,
                               to_wire_sub)
 
+    if compact is None:
+        compact = wire_compact_ok(ds)
     group = []
     for g, sub in batch_iterator(ds, batch_size, caps, shuffle=shuffle,
                                  seed=seed, workers=workers,
@@ -291,45 +350,38 @@ def wire_superbatches(ds: GraphDataset, batch_size: int, caps: Capacities,
             raise ValueError("wire superbatches do not carry logM "
                              "targets (O(k N^2) — ship per-batch instead:"
                              " superbatch_k=0 with recons_type='logM')")
-        group.append((to_wire_graph(g), to_wire_sub(sub)))
+        group.append((to_wire_graph(g, compact=compact),
+                      to_wire_sub(sub, compact=compact)))
         if len(group) < super_k:
             continue
         edges = int(sum(int(w.n_edges) + int(v.n_edges)
                         for w, v in group))
-        import jax as _jax
-
-        gs = _jax.tree_util.tree_map(
-            lambda *xs: _np.stack(xs), *[b[0] for b in group])
-        subs = _jax.tree_util.tree_map(
-            lambda *xs: _np.stack(xs), *[b[1] for b in group])
-        if byte_specs is None:
-            byte_specs = (byte_spec_of(gs), byte_spec_of(subs))
-        yield (pack_bytes(gs, byte_specs[0]),
-               pack_bytes(subs, byte_specs[1]), edges)
+        tree = _stack_group(group)
+        if byte_spec is None:
+            byte_spec = byte_spec_of(tree)
+        yield pack_bytes(tree, byte_spec), edges
         group = []
 
 
-def superbatch_specs(ds: GraphDataset, batch_size: int, caps: Capacities,
-                     super_k: int, logm_k: Optional[int] = None):
-    """Byte specs (g_spec, sub_spec) for ``wire_superbatches`` /
-    ``make_pretrain_superbatch_step`` — computed from one sample group."""
-    import jax as _jax
-    import numpy as _np
-
+def superbatch_spec(ds: GraphDataset, batch_size: int, caps: Capacities,
+                    super_k: int, logm_k: Optional[int] = None,
+                    compact: Optional[bool] = None):
+    """The combined ByteSpec for ``wire_superbatches`` /
+    ``make_pretrain_superbatch_step(byte_spec=...)`` — computed from one
+    sample group."""
     from ..graph.wire import byte_spec_of, to_wire_graph, to_wire_sub
 
+    if compact is None:
+        compact = wire_compact_ok(ds)
     group = []
     for g, sub in batch_iterator(ds, batch_size, caps, shuffle=False,
                                  logm_k=logm_k):
-        group.append((to_wire_graph(g), to_wire_sub(sub)))
+        group.append((to_wire_graph(g, compact=compact),
+                      to_wire_sub(sub, compact=compact)))
         if len(group) == super_k:
             break
     if len(group) < super_k:
         raise ValueError(
             f"dataset too small for super_k={super_k}: "
             f"{len(group)} batches of {batch_size}")
-    gs = _jax.tree_util.tree_map(
-        lambda *xs: _np.stack(xs), *[b[0] for b in group])
-    subs = _jax.tree_util.tree_map(
-        lambda *xs: _np.stack(xs), *[b[1] for b in group])
-    return byte_spec_of(gs), byte_spec_of(subs)
+    return byte_spec_of(_stack_group(group))

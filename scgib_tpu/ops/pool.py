@@ -116,7 +116,13 @@ def sorted_segment_sum_banded(data: jnp.ndarray,
         return _pool_matmul(blocks, off, d, cc_clip)
 
     def scatter(d):
-        return jax.ops.segment_sum(d, segment_ids,
+        # cc, not the raw segment_ids: the packer resets padding-row
+        # centers to 0 AFTER the ascending real ids (batching.py), so the
+        # raw array is NOT sorted and an incorrect indices_are_sorted hint
+        # is implementation-defined for XLA scatter (ADVICE round 3).  cc
+        # maps padding past the last segment — genuinely sorted, and the
+        # out-of-range rows are dropped exactly like the masked rows.
+        return jax.ops.segment_sum(d, cc,
                                    num_segments=num_segments,
                                    indices_are_sorted=True)
 
@@ -125,6 +131,12 @@ def sorted_segment_sum_banded(data: jnp.ndarray,
 
 def _fallback(data, segment_ids, num_segments, mask):
     data = _apply_mask(data, mask)
-    return jax.ops.segment_sum(data, segment_ids,
+    if mask is not None:
+        # remap padding rows past the last segment so the sortedness hint
+        # is actually true (see the cond's scatter branch above)
+        ids = jnp.where(mask, segment_ids, num_segments).astype(jnp.int32)
+    else:
+        ids = segment_ids
+    return jax.ops.segment_sum(data, ids,
                                num_segments=num_segments,
                                indices_are_sorted=True)

@@ -84,6 +84,13 @@ def run_pretraining(step_fn: Callable, state: TrainState,
             bad_epochs = int(extra.get("bad_epochs", bad_epochs))
             history = [float(x) for x in
                        np.asarray(extra.get("history", ()))]
+            # the autosave persists the best WEIGHTS too — without them a
+            # resume that runs zero epochs (stage already complete) would
+            # fall back to snapshotting the restored final state while
+            # reporting the restored best_loss/best_epoch (ADVICE round 3)
+            if track_best and extra.get("best_variables") is not None:
+                best_vars = jax.tree_util.tree_map(
+                    np.asarray, extra["best_variables"])
             if log:
                 log(f"resumed autosave at epoch {saved_epoch} "
                     f"(best {best_loss:.5f})")
@@ -93,21 +100,21 @@ def run_pretraining(step_fn: Callable, state: TrainState,
         nb = 0
         if superbatch_k:
             # wire-superbatch transport: K batches ship as ONE uint8
-            # buffer pair + ONE dispatch of K real optimizer steps
-            # (step_fn from make_pretrain_superbatch_step(byte_specs=...));
+            # buffer + ONE dispatch of K real optimizer steps (step_fn
+            # from make_pretrain_superbatch_step(byte_spec=...));
             # amortizes the host<->device round trip K-fold — required
             # for production throughput on remote/tunneled links
             from ..data.loader import wire_superbatches
 
-            for gbuf, sbuf, n_edges in prefetch_to_device(
+            for buf, n_edges in prefetch_to_device(
                     wire_superbatches(ds, batch_size, caps, superbatch_k,
                                       shuffle=True, seed=seed + epoch,
                                       logm_k=logm_k,
-                                      byte_specs=superbatch_specs)):
+                                      byte_spec=superbatch_specs)):
                 rng, k = jax.random.split(rng)
                 with timer.step(edges=int(n_edges),
                                 graphs=batch_size * superbatch_k):
-                    state, losses = step_fn(state, gbuf, sbuf, k)
+                    state, losses = step_fn(state, buf, k)
                     total += float(np.sum(np.asarray(losses.total)))
                 nb += superbatch_k
         else:
@@ -144,12 +151,13 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     log(f"early stop at epoch {epoch} (patience {patience})")
                 break
         if autosave_path and (epoch + 1) % max(autosave_every, 1) == 0:
-            save_train_state(autosave_path, state, epoch, rng,
-                             extra={"best_loss": best_loss,
-                                    "best_epoch": best_epoch,
-                                    "bad_epochs": bad_epochs,
-                                    "history": np.asarray(history,
-                                                          np.float64)})
+            extra = {"best_loss": best_loss,
+                     "best_epoch": best_epoch,
+                     "bad_epochs": bad_epochs,
+                     "history": np.asarray(history, np.float64)}
+            if best_vars is not None:
+                extra["best_variables"] = best_vars
+            save_train_state(autosave_path, state, epoch, rng, extra=extra)
 
     if best_vars is None:   # track_best=False -> reference aliasing: last
         best_vars = _snapshot(state)

@@ -172,7 +172,8 @@ def make_pretrain_scan_step(model, tx: optax.GradientTransformation,
 def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
                                   donate: bool = True,
                                   wire: bool = False,
-                                  byte_specs=None) -> Callable:
+                                  byte_specs=None,
+                                  byte_spec=None) -> Callable:
     """One optimizer step per batch, scanned over a SUPERBATCH — stacked
     (GraphBatch, SubgraphBatch) pytrees with a leading [K] axis.
 
@@ -193,7 +194,12 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
     as TWO single uint8 buffers (wire.pack_bytes) — one device transfer
     each instead of one per leaf, which removes the per-put round-trip
     latency that dominates on remote links.  Implies ``wire`` handling
-    of the unpacked leaves."""
+    of the unpacked leaves.
+
+    ``byte_spec`` (single ByteSpec over the combined ``(gs, subs)``
+    pytree): the whole superbatch arrives as ONE uint8 buffer — one
+    device transfer AND one transfer round trip per superbatch; the step
+    signature becomes ``(state, buf, rng)``."""
 
     def loss_fn(params, batch_stats, g, sub, rng):
         losses, mutated = model.apply(
@@ -202,17 +208,11 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
             rngs=_model_rngs(rng))
         return losses.total, (losses, mutated["batch_stats"])
 
-    def step(state: TrainState, gs, subs, rng):
-        if byte_specs is not None:
-            from ..graph.wire import unpack_bytes
-
-            gs = unpack_bytes(gs, byte_specs[0])
-            subs = unpack_bytes(subs, byte_specs[1])
-
+    def run(state: TrainState, gs, subs, rng):
         def body(carry, batch):
             st, i = carry
             g, sub = batch
-            if wire or byte_specs is not None:
+            if wire or byte_specs is not None or byte_spec is not None:
                 from ..graph.wire import from_wire_graph, from_wire_sub
 
                 g = from_wire_graph(g)
@@ -230,6 +230,22 @@ def make_pretrain_superbatch_step(model, tx: optax.GradientTransformation,
         (state, _), losses = jax.lax.scan(
             body, (state, jnp.int32(0)), (gs, subs))
         return state, losses  # losses stacked [K]
+
+    if byte_spec is not None:
+        from ..graph.wire import unpack_bytes
+
+        def step(state: TrainState, buf, rng):
+            gs, subs = unpack_bytes(buf, byte_spec)
+            return run(state, gs, subs, rng)
+    elif byte_specs is not None:
+        from ..graph.wire import unpack_bytes
+
+        def step(state: TrainState, gbuf, sbuf, rng):
+            gs = unpack_bytes(gbuf, byte_specs[0])
+            subs = unpack_bytes(sbuf, byte_specs[1])
+            return run(state, gs, subs, rng)
+    else:
+        step = run
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

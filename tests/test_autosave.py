@@ -152,3 +152,27 @@ def test_adapt_resume_matches_uninterrupted(tmp_path):
                     jax.tree_util.tree_leaves(state_c.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
     assert info_a["best_loss"] == info_c["best_loss"]
+
+
+def test_resume_at_stage_boundary_keeps_best_weights(tmp_path):
+    """A resume where the stage is ALREADY complete (start_epoch == epochs)
+    must report the true best-loss weights, not the restored final state
+    (ADVICE round 3: best_variables now persisted in the autosave)."""
+    ds, caps, variables, tx, step = _setup()
+    path = str(tmp_path / "auto.msgpack")
+
+    state_a = TrainState.create(variables, tx)
+    state_a, info_a = run_pretraining(step, state_a, ds, caps, BATCH,
+                                      epochs=4, seed=11, log=None,
+                                      autosave_path=path)
+
+    # crash-restart after the final epoch's autosave: zero epochs run
+    state_b = TrainState.create(variables, tx)
+    state_b, info_b = run_pretraining(step, state_b, ds, caps, BATCH,
+                                      epochs=4, seed=11, log=None,
+                                      autosave_path=path)
+    assert info_b["best_epoch"] == info_a["best_epoch"]
+    assert info_b["best_loss"] == info_a["best_loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(info_a["best_variables"]),
+                    jax.tree_util.tree_leaves(info_b["best_variables"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -80,7 +80,7 @@ def test_pretrain_superbatch_loop(tmp_path):
     import numpy as np
 
     from scgib_tpu.data.loader import (GraphDataset, plan_capacities,
-                                       superbatch_specs)
+                                       superbatch_spec)
     from scgib_tpu.data.synthetic import random_dataset
     from scgib_tpu.models.scgib import PretrainModel
     from scgib_tpu.train.loops import run_pretraining
@@ -97,8 +97,8 @@ def test_pretrain_superbatch_loop(tmp_path):
     variables = init_model(model, {"params": jax.random.PRNGKey(0),
                                    "noise": jax.random.PRNGKey(1)},
                            g0, sub0, train=True)
-    specs = superbatch_specs(ds, 16, caps, 2)
-    step = make_pretrain_superbatch_step(model, tx, byte_specs=specs)
+    specs = superbatch_spec(ds, 16, caps, 2)
+    step = make_pretrain_superbatch_step(model, tx, byte_spec=specs)
     state = TrainState.create(variables, tx)
     autosave = str(tmp_path / "auto.msgpack")
     state, info = run_pretraining(step, state, ds, caps, 16, epochs=3,

@@ -111,3 +111,113 @@ def test_wire_superbatch_step_matches_plain():
     for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
                     jax.tree_util.tree_leaves(st_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _assert_masked_batch_equal(a, b):
+    """Batches agree on every REAL entry and every mask; padded index
+    values may differ (compact wire re-encodes padding as self-loops on
+    the last real row — consumers weight by the masks)."""
+    np.testing.assert_array_equal(np.asarray(a.node_mask),
+                                  np.asarray(b.node_mask))
+    np.testing.assert_array_equal(np.asarray(a.edge_mask),
+                                  np.asarray(b.edge_mask))
+    em = np.asarray(a.edge_mask)
+    np.testing.assert_array_equal(np.asarray(a.senders)[em],
+                                  np.asarray(b.senders)[em])
+    np.testing.assert_array_equal(np.asarray(a.receivers)[em],
+                                  np.asarray(b.receivers)[em])
+
+
+def test_wire_compact_roundtrip():
+    g, sub = _batch(seed=5, labels=True)
+    g2 = jax.jit(from_wire_graph)(
+        jax.device_put(to_wire_graph(g, compact=True)))
+    sub2 = jax.jit(from_wire_sub)(
+        jax.device_put(to_wire_sub(sub, compact=True)))
+    _assert_masked_batch_equal(g2, g)
+    _assert_masked_batch_equal(sub2, sub)
+    np.testing.assert_array_equal(np.asarray(g2.node_feat),
+                                  np.asarray(g.node_feat))
+    nm = np.asarray(sub.node_mask)
+    np.testing.assert_array_equal(np.asarray(sub2.node_center)[nm],
+                                  np.asarray(sub.node_center)[nm])
+    np.testing.assert_array_equal(np.asarray(sub2.node_orig)[nm],
+                                  np.asarray(sub.node_orig)[nm])
+    # padded index values must stay in range (consumers only mask, the
+    # gathers still execute)
+    n_cap = np.asarray(g.node_mask).shape[0]
+    for arr in (g2.senders, g2.receivers):
+        a = np.asarray(arr)
+        assert a.min() >= 0 and a.max() < n_cap
+    s_cap = nm.shape[0]
+    for arr in (sub2.senders, sub2.receivers):
+        a = np.asarray(arr)
+        assert a.min() >= 0 and a.max() < s_cap
+    assert np.asarray(sub2.node_orig).max() < n_cap
+    # compact halves the edge wire: 2 bytes/edge vs 4
+    w = to_wire_graph(g, compact=True)
+    assert np.asarray(w.edge_rdelta).dtype == np.uint8
+    assert np.asarray(w.edge_soff).dtype == np.int8
+    assert w.senders is None and w.receivers is None
+
+
+def test_wire_compact_overflow_raises():
+    from scgib_tpu.graph.wire import CompactOverflow
+
+    graphs = random_dataset(2, seed=1, min_nodes=150, max_nodes=180,
+                            feat_dim=9)
+    egos = [extract_egonets(g, 1) for g in graphs]
+    g = pack_graphs(graphs, 512, 4096, 2)
+    try:
+        to_wire_graph(g, compact=True)
+    except CompactOverflow:
+        return
+    raise AssertionError("expected CompactOverflow for 150+-node graphs")
+
+
+def test_wire_combined_compact_superbatch_matches_plain():
+    """ONE combined compact byte buffer per superbatch: same losses and
+    parameters as the plain (unwired) superbatch step."""
+    K = 4
+    batches = [_batch(seed=s) for s in range(K)]
+    model = PretrainModel(in_dim=9, hidden=16, d_transfer=8,
+                          deterministic=True)
+    g0, sub0 = batches[0]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        g0, sub0, train=True)
+    tx = adam_l2(1e-3)
+
+    stack = lambda xs: jax.tree_util.tree_map(
+        lambda *ls: np.stack([np.asarray(l) for l in ls]), *xs)
+    gs = stack([b[0] for b in batches])
+    subs = stack([b[1] for b in batches])
+    plain = make_pretrain_superbatch_step(model, tx, donate=False)
+    st_a, losses_a = plain(TrainState.create(variables, tx), gs, subs,
+                           jax.random.PRNGKey(9))
+
+    wires = [(to_wire_graph(b[0], compact=True),
+              to_wire_sub(b[1], compact=True)) for b in batches]
+    tree = (stack([w[0] for w in wires]), stack([w[1] for w in wires]))
+    spec = byte_spec_of(tree)
+    bstep = make_pretrain_superbatch_step(model, tx, donate=False,
+                                          byte_spec=spec)
+    st_b, losses_b = bstep(TrainState.create(variables, tx),
+                           pack_bytes(tree, spec), jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(np.asarray(losses_a.total),
+                               np.asarray(losses_b.total), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                    jax.tree_util.tree_leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_wire_compact_ok_detection():
+    from scgib_tpu.data.loader import GraphDataset, wire_compact_ok
+
+    small = GraphDataset(random_dataset(6, seed=0, min_nodes=6,
+                                        max_nodes=12, feat_dim=9), k=1)
+    assert wire_compact_ok(small)
+    big = GraphDataset(random_dataset(2, seed=1, min_nodes=150,
+                                      max_nodes=180, feat_dim=9), k=1)
+    assert not wire_compact_ok(big)
