@@ -36,6 +36,24 @@ from ..spmm_banded import banded_spmm
 
 _TILES_PER_PROGRAM = 4
 
+import os as _os
+import jax.lax as _lax
+
+# Matmul precision inside the fused kernels.  Mosaic supports only
+# DEFAULT and HIGHEST for f32 operands (Precision.HIGH raises
+# NotImplementedError, probed round 4); DEFAULT measured identical time
+# AND identical loss to the unannotated dots, so it is the knob's
+# default.  Kept as an env knob for future toolchains.
+_KERNEL_PREC = {"default": None,
+                "highest": _lax.Precision.HIGHEST,
+                "bf16": _lax.Precision.DEFAULT}.get(
+    _os.environ.get("SCGIB_KERNEL_PREC", "default"), None)
+
+def _kdot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_KERNEL_PREC)
+
+
 def _vmem_limit(*sizes_f32):
     """Scoped-VMEM cap for a kernel holding the given f32 element counts.
 
@@ -64,16 +82,15 @@ def _kernel(col_off_ref, h_ref, blocks_ref, w1_ref, b1_ref, w2_ref,
         # Mosaic needs the hint to vectorize the bf16 (16-sublane) window
         off = pl.multiple_of(col_off_ref[t], 64)
         win = h_ref[pl.ds(off, band), :]             # [band, d]
-        agg = jnp.dot(blocks_ref[j], win,
-                      preferred_element_type=jnp.float32)  # [tile, d]
+        # blocks may arrive bf16 (half the HBM read — 0/1 entries are
+        # bf16-exact); convert in VMEM to match the compute dtype
+        agg = _kdot(blocks_ref[j].astype(cdt), win)  # [tile, d]
         rows = h_ref[pl.ds(t * tile, tile), :]
         z = agg + rows.astype(jnp.float32)           # GIN self term (eps=0)
-        z = jnp.dot(z.astype(cdt) if bf16 else z, w1_ref[:, :],
-                    preferred_element_type=jnp.float32) + b1_ref[:, :]
+        z = _kdot(z.astype(cdt) if bf16 else z, w1_ref[:, :]) + b1_ref[:, :]
         z = jnp.maximum(z, 0.0)
-        out_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            z.astype(cdt) if bf16 else z, w2_ref[:, :],
-            preferred_element_type=jnp.float32) + b2_ref[:, :]
+        out_ref[pl.ds(j * tile, tile), :] = _kdot(
+            z.astype(cdt) if bf16 else z, w2_ref[:, :]) + b2_ref[:, :]
 
 
 def _forward(blocks, col_off, h, w1, b1, w2, b2):
@@ -138,25 +155,19 @@ def _bwd_kernel(col_off_ref, h_ref, g_ref, blocks_ref, w1_ref, b1_ref,
         t = p * tp + j
         off = pl.multiple_of(col_off_ref[t], 64)
         win = h_ref[pl.ds(off, band), :]
-        agg = jnp.dot(blocks_ref[j], win,
-                      preferred_element_type=jnp.float32)
+        agg = _kdot(blocks_ref[j].astype(jnp.float32), win)
         rows = h_ref[pl.ds(t * tile, tile), :]
         z0 = agg + rows.astype(jnp.float32)
-        z1 = jnp.dot(z0, w1_ref[:, :],
-                     preferred_element_type=jnp.float32) + b1_ref[:, :]
+        z1 = _kdot(z0, w1_ref[:, :]) + b1_ref[:, :]
         z1r = jnp.maximum(z1, 0.0)
         gt = g_ref[pl.ds(j * tile, tile), :].astype(jnp.float32)
-        dw2_acc += jnp.dot(z1r.T, gt,
-                           preferred_element_type=jnp.float32)
+        dw2_acc += _kdot(z1r.T, gt)
         db2_acc += jnp.sum(gt, axis=0, keepdims=True)
-        gz1 = jnp.dot(gt, w2_ref[:, :].T,
-                      preferred_element_type=jnp.float32)
+        gz1 = _kdot(gt, w2_ref[:, :].T)
         gz1 = jnp.where(z1 > 0.0, gz1, 0.0)
-        dw1_acc += jnp.dot(z0.T, gz1,
-                           preferred_element_type=jnp.float32)
+        dw1_acc += _kdot(z0.T, gz1)
         db1_acc += jnp.sum(gz1, axis=0, keepdims=True)
-        gz0_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            gz1, w1_ref[:, :].T, preferred_element_type=jnp.float32)
+        gz0_ref[pl.ds(j * tile, tile), :] = _kdot(gz1, w1_ref[:, :].T)
     dw1_ref[0] = dw1_acc
     db1_ref[0] = db1_acc
     dw2_ref[0] = dw2_acc
@@ -172,8 +183,7 @@ def _spmm_self_kernel(col_off_ref, x_ref, blocks_ref, out_ref):
         t = p * tp + j
         off = pl.multiple_of(col_off_ref[t], 64)
         win = x_ref[pl.ds(off, band), :]
-        agg = jnp.dot(blocks_ref[j], win,
-                      preferred_element_type=jnp.float32)
+        agg = _kdot(blocks_ref[j].astype(x_ref.dtype), win)
         out_ref[pl.ds(j * tile, tile), :] = agg + x_ref[
             pl.ds(t * tile, tile), :]
 
@@ -224,7 +234,7 @@ def _backward_fused(blocks, col_off, h, g, w1, b1, w2):
                                         + 2 * dh_mid * d_out),
             bytes_accessed=4 * (2 * n * d + blocks.size + n * d_out),
             transcendentals=0),
-    )(col_off, h.astype(jnp.float32), g, blocks.astype(jnp.float32),
+    )(col_off, h.astype(jnp.float32), g, blocks,
       w1.astype(jnp.float32), b1.reshape(1, -1).astype(jnp.float32),
       w2.astype(jnp.float32))
 
@@ -248,7 +258,7 @@ def _backward_fused(blocks, col_off, h, g, w1, b1, w2):
             flops=2 * n_tiles * tile * band * d,
             bytes_accessed=4 * (2 * n * d + blocks.size),
             transcendentals=0),
-    )(col_off, gz0, blocks.astype(jnp.float32))
+    )(col_off, gz0, blocks)
 
     return dh, dw1p.sum(0), db1p.sum(0)[0], dw2p.sum(0), db2p.sum(0)[0]
 
@@ -261,8 +271,8 @@ def _spmm_kernel(col_off_ref, x_ref, blocks_ref, out_ref):
         t = p * tp + j
         off = pl.multiple_of(col_off_ref[t], 64)
         win = x_ref[pl.ds(off, band), :]
-        out_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            blocks_ref[j], win, preferred_element_type=jnp.float32)
+        out_ref[pl.ds(j * tile, tile), :] = _kdot(
+            blocks_ref[j].astype(x_ref.dtype), win)
 
 
 def _spmm_pallas(blocks, col_off, x):
@@ -289,7 +299,7 @@ def _spmm_pallas(blocks, col_off, x):
             flops=2 * n_tiles * tile * band * d,
             bytes_accessed=4 * (2 * n * d + blocks.size),
             transcendentals=0),
-    )(col_off, x.astype(jnp.float32), blocks.astype(jnp.float32))
+    )(col_off, x.astype(jnp.float32), blocks)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -375,3 +385,67 @@ def gin_banded_layer_reference(blocks, col_off, h, w1, b1, w2, b2):
     """XLA reference of the fused layer (for parity tests)."""
     z0 = banded_spmm(blocks, col_off, h) + h
     return jnp.maximum(z0 @ w1 + b1, 0.0) @ w2 + b2
+
+
+# --- sorted-segment pooling kernel -----------------------------------------
+#
+# The candidate-embedding pooling (ops/pool.py) is the same banded-matmul
+# shape as the SpMM above but with wider windows (window ~= 2x the mean
+# sub-rows-per-center-tile, 1024 at bench shapes).  The XLA composition
+# (vmap dynamic-slice staging + HIGH-precision dot) measured ~250 us/step
+# in the round-4 profile: the staging materialized a [T, window, d] copy
+# (43 us) through a serialized gather loop (54 us) and the 16 MB f32
+# block reads dominated the dot (96 us).  This kernel slices windows from
+# the VMEM-resident data, reads the 0/1 blocks in bf16 (exact), and runs
+# TWO bf16 passes over a hi/lo split of the data — algebraically the same
+# 3-pass HIGH product when one operand's low half is zero, so it keeps
+# the pooling path's ~1e-6 agreement with the exact scatter.
+
+
+def _pool_kernel(off_ref, hi_ref, lo_ref, blocks_ref, out_ref):
+    p = pl.program_id(0)
+    tp, tile, window = blocks_ref.shape
+    for j in range(tp):
+        t = p * tp + j
+        off = pl.multiple_of(off_ref[t], 64)
+        b = blocks_ref[j]
+        acc = jnp.dot(b, hi_ref[pl.ds(off, window), :],
+                      preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(b, lo_ref[pl.ds(off, window), :],
+                            preferred_element_type=jnp.float32)
+        out_ref[pl.ds(j * tile, tile), :] = acc
+
+
+def pool_banded_pallas(blocks, col_off, data):
+    """[T, tile, window] bf16 0/1 blocks x [S, d] f32 -> [T*tile, d] f32.
+
+    Requires ``col_off`` entries to be 64-aligned (ops/pool.py aligns its
+    window offsets).  Exactness: see the hi/lo note above."""
+    n_tiles, tile, window = blocks.shape
+    s, d = data.shape
+    hi = data.astype(jnp.bfloat16)
+    lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tp = next(t for t in (_TILES_PER_PROGRAM, 2, 1) if n_tiles % t == 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi: full array
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo: full array
+            pl.BlockSpec((tp, tile, window), lambda p, c: (p, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tp * tile, d), lambda p, c: (p, 0)),
+    )
+    return pl.pallas_call(
+        _pool_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(s * d, tp * tile * window // 2,
+                                         window * d, tp * tile * d)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_tiles * tile * window * d,
+            bytes_accessed=2 * s * d + 2 * blocks.size + 4 * n_tiles
+            * tile * d,
+            transcendentals=0),
+    )(col_off, hi, lo, blocks.astype(jnp.bfloat16))

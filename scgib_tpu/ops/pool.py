@@ -38,12 +38,22 @@ from .segment import _apply_mask
 def _pool_matmul(blocks, col_off, data, cc_clip):
     """[T, tile, W] @ windows of data -> [T*tile, d]; bwd is a gather.
 
-    precision=HIGH: this is a segment SUM (a statistic), not a learned
-    matmul — the scatter path it replaces is exact f32.  The one-hot
-    operand is exactly representable in bf16 (0/1), so only the data
-    rounds; HIGH (3-pass) keeps ~1e-6 relative agreement with the exact
-    scatter at half the passes of HIGHEST (profiled: HIGHEST at
-    tile=64 cost ~200 us/step more than the scatter it replaced)."""
+    TPU: a Pallas kernel (pallas/banded.py::pool_banded_pallas) — VMEM
+    window slicing (no staged [T, W, d] copy), bf16 block reads, and a
+    hi/lo 2-pass product that equals precision=HIGH when one operand is
+    bf16-exact.  Replaced the XLA composition that profiled ~250 us/step
+    at bench shapes (round 4); parity ~1e-6 vs the exact scatter.
+
+    Elsewhere (CPU tests, TPU fallback for huge data): the XLA banded
+    dot at precision=HIGH — this is a segment SUM (a statistic), not a
+    learned matmul, and the scatter path it replaces is exact f32."""
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and data.ndim == 2
+            and data.size * 4 <= (32 << 20)):
+        from .pallas.banded import pool_banded_pallas
+
+        return pool_banded_pallas(blocks, col_off, data)
     from .spmm_banded import _banded_spmm_impl
 
     return _banded_spmm_impl(blocks, col_off, data,
@@ -86,6 +96,7 @@ def sorted_segment_sum_banded(data: jnp.ndarray,
                                           // num_segments)))
         window = ((window + 255) // 256) * 256
     if (num_segments % tile != 0 or s_rows < window
+            or s_rows % 64 != 0 or window % 64 != 0
             or data.ndim != 2):
         return _fallback(data, segment_ids, num_segments, mask)
 
@@ -96,18 +107,23 @@ def sorted_segment_sum_banded(data: jnp.ndarray,
     cc = jnp.where(m, segment_ids, num_segments).astype(jnp.int32)
     tile_starts = jnp.arange(n_tiles + 1, dtype=jnp.int32) * tile
     bounds = jnp.searchsorted(cc, tile_starts)            # [T+1]
-    off = (bounds[:-1] // 8) * 8                          # sublane align
+    off = (bounds[:-1] // 64) * 64    # 64-aligned: the Pallas kernel's
     off = jnp.minimum(off, max(s_rows - window, 0)).astype(jnp.int32)
+    # bf16 window slices need sublane-aligned starts (s_rows and window
+    # are multiples of 64 by the bucket/window rounding, so the clamp
+    # preserves alignment)
     span = bounds[1:] - off
     fits = jnp.max(span) <= window
 
-    # per-row block coordinates (build is loop-invariant -> hoisted)
+    # per-row block coordinates (build is loop-invariant -> hoisted).
+    # bf16 blocks: each sub-row owns exactly ONE (tile, row, col) slot,
+    # so entries are 0/1 — bf16-exact at half the HBM read of f32.
     cc_clip = jnp.minimum(cc, num_segments - 1)
     t_idx = cc_clip // tile
     row = cc_clip - t_idx * tile
     col = jnp.arange(s_rows, dtype=jnp.int32) - off[t_idx]
-    w = m.astype(data.dtype)
-    blocks = jnp.zeros((n_tiles, tile, window), data.dtype)
+    w = m.astype(jnp.bfloat16)
+    blocks = jnp.zeros((n_tiles, tile, window), jnp.bfloat16)
     blocks = blocks.at[t_idx, row, col].add(w, mode="drop")
 
     data_m = _apply_mask(data, mask)

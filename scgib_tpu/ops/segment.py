@@ -67,7 +67,13 @@ def _onehot(segment_ids: jnp.ndarray, num_segments: int,
 def _segment_sum_dense(data: jnp.ndarray, segment_ids: jnp.ndarray,
                        num_segments: int) -> jnp.ndarray:
     """data already masked.  [N, ...] -> [S, ...] via MXU matmul.
-    precision=HIGHEST keeps f32 numerics (within reduction order)."""
+
+    precision=HIGH (3-pass bf16) rather than HIGHEST (6-pass): the
+    one-hot operand is EXACTLY representable in bf16 (0/1), so the
+    passes involving its low half vanish — HIGH loses nothing over
+    HIGHEST here beyond the data's own hi/lo split, which HIGH already
+    carries.  Verified on chip vs the exact scatter (TPU_PARITY probes),
+    at half the MXU passes."""
     n = data.shape[0]
     oh = _onehot(segment_ids, num_segments, data.dtype)
     flat = data.reshape(n, -1)
@@ -78,7 +84,7 @@ def _segment_sum_dense(data: jnp.ndarray, segment_ids: jnp.ndarray,
     # (ADVICE round 2).
     in_range = (segment_ids >= 0) & (segment_ids < num_segments)
     flat = jnp.where(in_range[:, None], flat, 0)
-    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGH)
     return out.reshape((num_segments,) + data.shape[1:])
 
 
@@ -128,7 +134,10 @@ def segment_broadcast(values: jnp.ndarray, segment_ids: jnp.ndarray,
         iota = jax.lax.iota(jnp.int32, num_segments)
         oh = (cids[:, None] == iota[None, :]).astype(values.dtype)
         flat = values.reshape(num_segments, -1)
-        out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+        # HIGH, not HIGHEST: exact-bf16 one-hot operand (see
+        # _segment_sum_dense) — XLA transposes this dot's precision into
+        # the backward dot unchanged
+        out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGH)
         return out.reshape(segment_ids.shape[:1] + values.shape[1:])
     return _segment_broadcast_take(values, segment_ids, num_segments)
 
