@@ -234,17 +234,25 @@ def pack_flat_batch(fd: FlatDataset, sel: Sequence[int], caps: Capacities,
                and bool((n_sz <= lim).all())
                and bool((fd.max_ego[sel] <= lim).all()))
 
+    # gt_fits uses DATASET-level maxima, not the selection's: the flag is
+    # static (a jit-cache key), so it must not flip between batches of
+    # one dataset (graph/banded.py gt geometry note)
+    from ..graph.banded import gt_band_fits
+    ds_max_n = int(np.diff(fd.node_off).max(initial=0))
+    ds_max_ego = int(fd.max_ego.max(initial=0))
     g = GraphBatch(
         node_feat=node_feat, node_graph=node_graph, node_mask=node_mask,
         senders=senders, receivers=receivers, edge_mask=edge_mask,
         graph_mask=graph_mask, labels=labels, label_mask=label_mask,
         band_blocks=None,
         band_col_off=banded_col_off(caps.nodes, tile, band)
-        if band_ok else None)
+        if band_ok else None,
+        gt_fits=gt_band_fits(ds_max_n, caps.nodes))
     sub = SubgraphBatch(
         node_feat=None, node_center=node_center, node_orig=node_orig,
         node_mask=sub_node_mask, senders=sub_s, receivers=sub_r,
         edge_mask=sub_edge_mask, band_blocks=None,
         band_col_off=banded_col_off(caps.sub_nodes, tile, band)
-        if band_ok else None)
+        if band_ok else None,
+        gt_fits=gt_band_fits(ds_max_ego, caps.sub_nodes))
     return g, sub

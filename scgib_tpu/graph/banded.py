@@ -154,3 +154,25 @@ def pack_banded(senders: np.ndarray, receivers: np.ndarray,
 
     return BandedAdjacency(blocks=blocks, col_off=col_off,
                            num_nodes=num_nodes)
+
+
+# --- graph-transformer geometry --------------------------------------------
+#
+# The GT flash kernels (ops/pallas/gt_flash.py) are VPU-bound on the dense
+# [tile, band] window, so they prefer a NARROWER geometry than the conv
+# kernels: tile=64, band=128, align=8 (f32 sublane).  The window
+# [t0 - 32, t0 + 96) provably contains every edge when no graph (or
+# ego-net) exceeds tile/2 + 1 = 33 nodes: an edge's endpoints differ by
+# at most n-1 <= 32.  The packers record this DATASET-STABLE fact as the
+# static ``gt_fits`` flag so the encoder picks the geometry at trace time.
+
+GT_TILE = 64
+GT_BAND = 128
+GT_ALIGN = 8
+
+
+def gt_band_fits(max_component: int, cap: int) -> bool:
+    """True when the (GT_TILE, GT_BAND) geometry provably fits every
+    batch whose largest graph/ego-net has ``max_component`` nodes."""
+    return (cap % GT_TILE == 0 and cap >= GT_BAND
+            and max_component <= GT_TILE // 2 + 1)

@@ -157,11 +157,15 @@ def pack_graphs(graphs: Sequence[GraphData],
                                                 edge_mask, num_nodes,
                                                 mode=banded)
 
+    from .banded import gt_band_fits
+    gt_ok = gt_band_fits(max((g.num_nodes for g in graphs), default=0),
+                         num_nodes)
     return GraphBatch(
         node_feat=node_feat, node_graph=node_graph, node_mask=node_mask,
         senders=senders, receivers=receivers, edge_mask=edge_mask,
         graph_mask=graph_mask, labels=labels, label_mask=label_mask,
-        band_blocks=band_blocks, band_col_off=band_col_off)
+        band_blocks=band_blocks, band_col_off=band_col_off,
+        gt_fits=gt_ok)
 
 
 def _try_banded(senders, receivers, edge_mask, num_nodes,
@@ -321,11 +325,16 @@ def pack_subgraphs(graphs: Sequence[GraphData],
         band_blocks, band_col_off = _try_banded(senders, receivers,
                                                 edge_mask, num_sub_nodes,
                                                 mode=banded)
+    from .banded import gt_band_fits
+    gt_ok = gt_band_fits(
+        max((int(np.diff(f.node_off).max(initial=0)) for f in flats),
+            default=0), num_sub_nodes)
     return SubgraphBatch(
         node_feat=node_feat, node_center=node_center, node_orig=node_orig,
         node_mask=node_mask, senders=senders,
         receivers=receivers, edge_mask=edge_mask,
-        band_blocks=band_blocks, band_col_off=band_col_off)
+        band_blocks=band_blocks, band_col_off=band_col_off,
+        gt_fits=gt_ok)
 
 
 def max_egonet_size(egonets: Sequence[EgoNets]) -> int:

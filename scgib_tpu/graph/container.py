@@ -76,6 +76,11 @@ class GraphBatch:
     # only attach when the logM loss is in use (batch_iterator(logm_k=k))
     logm_targets: Optional[jnp.ndarray] = None   # [k, N, N]
     logm_weights: Optional[jnp.ndarray] = None   # [N, N]
+    # STATIC: every graph is small enough (<= 33 nodes) that the
+    # narrower (tile=64, band=128) banded geometry provably fits — the
+    # graph-transformer flash kernels use it to halve their dense-window
+    # (VPU) volume.  Dataset-stable, so one jit trace per dataset.
+    gt_fits: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -135,6 +140,9 @@ class SubgraphBatch:
     edge_mask: jnp.ndarray
     band_blocks: Optional[jnp.ndarray] = None    # see GraphBatch
     band_col_off: Optional[jnp.ndarray] = None
+    # STATIC: every ego-net <= 33 sub-nodes -> the (64, 128) geometry
+    # fits (see GraphBatch.gt_fits)
+    gt_fits: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:

@@ -51,6 +51,7 @@ class WireGraph:
     # wire as int8 OFFSETS from the decoded receiver.
     edge_rdelta: Optional[jnp.ndarray] = None   # [E] uint8
     edge_soff: Optional[jnp.ndarray] = None     # [E] int8
+    gt_fits: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -70,6 +71,7 @@ class WireSub:
     orig_off: Optional[jnp.ndarray] = None      # [S] int8
     edge_rdelta: Optional[jnp.ndarray] = None   # [Q] uint8
     edge_soff: Optional[jnp.ndarray] = None     # [Q] int8
+    gt_fits: bool = struct.field(pytree_node=False, default=False)
 
 
 class CompactOverflow(ValueError):
@@ -169,6 +171,7 @@ def to_wire_graph(g: GraphBatch, compact: bool = False) -> WireGraph:
                       else np.asarray(g.band_col_off)),
         edge_rdelta=rdelta,
         edge_soff=soff,
+        gt_fits=g.gt_fits,
     )
 
 
@@ -194,7 +197,7 @@ def to_wire_sub(sub: SubgraphBatch, compact: bool = False) -> WireSub:
             band_col_off=(None if sub.band_col_off is None
                           else np.asarray(sub.band_col_off)),
             center_delta=cdelta, orig_off=ooff,
-            edge_rdelta=rdelta, edge_soff=soff)
+            edge_rdelta=rdelta, edge_soff=soff, gt_fits=sub.gt_fits)
     # node_center/node_orig index the OWNING batch's node space; their
     # capacity bound is the owning node cap, which callers don't have
     # here — use the observed max (safe: dtype chosen from actual values)
@@ -209,6 +212,7 @@ def to_wire_sub(sub: SubgraphBatch, compact: bool = False) -> WireSub:
         n_edges=n_edges,
         band_col_off=(None if sub.band_col_off is None
                       else np.asarray(sub.band_col_off)),
+        gt_fits=sub.gt_fits,
     )
 
 
@@ -245,6 +249,7 @@ def from_wire_graph(w: WireGraph) -> GraphBatch:
         labels=w.labels,
         label_mask=w.label_mask,
         band_col_off=w.band_col_off,
+        gt_fits=w.gt_fits,
     )
 
 
@@ -340,4 +345,5 @@ def from_wire_sub(w: WireSub) -> SubgraphBatch:
         receivers=receivers,
         edge_mask=jnp.arange(q_cap, dtype=jnp.int32) < w.n_edges,
         band_col_off=w.band_col_off,
+        gt_fits=w.gt_fits,
     )

@@ -216,6 +216,11 @@ class SCGIBCore(nn.Module):
             sub_band = _resolve_band(sub)
             if sub_band is not None:
                 sub_kw["band"] = sub_band
+        if self.encoder == "Transformer":
+            # static flag: lets the flash kernels pick the narrower
+            # (64, 128) banded geometry (graph/banded.py GT notes)
+            enc_kw["gt_fits"] = g.gt_fits
+            sub_kw["gt_fits"] = getattr(sub, "gt_fits", False)
         h = self.encoder1(x_proj, g.senders, g.receivers,
                           node_mask=g.node_mask, edge_mask=g.edge_mask,
                           train=train, **enc_kw)

@@ -194,3 +194,64 @@ def test_encoder_banded_matches_coo_and_grads():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("bf16", [False, True])
+def test_gt_flash_matches_banded_xla(bf16, monkeypatch):
+    """The flash Pallas kernels (interpret mode on CPU) match the XLA
+    banded attention — forward AND input grads.  bf16=False is the
+    strict-parity mode; bf16=True is the default native-MXU mode with
+    mixed-precision tolerances."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scgib_tpu.ops.pallas import gt_flash as _gtf
+    monkeypatch.setattr(_gtf, "_BF16_DOTS", bf16)
+
+    from scgib_tpu.graph.banded import pack_banded
+    from scgib_tpu.ops.pallas.gt_flash import gt_flash_attention
+    from scgib_tpu.ops.spmm_banded import gt_banded_attention
+
+    rng = np.random.default_rng(0)
+    n, H, hd = 256, 8, 8
+    # banded adjacency from a random near-diagonal edge set
+    send, recv = [], []
+    for v in range(n):
+        for _ in range(3):
+            u = int(np.clip(v + rng.integers(-20, 21), 0, n - 1))
+            send += [u, v]
+            recv += [v, u]
+    senders = np.asarray(send, np.int32)
+    receivers = np.asarray(recv, np.int32)
+    b = pack_banded(senders, receivers, None, n, tile=128, band=256)
+    blocks = jnp.asarray(b.blocks)
+    col_off = jnp.asarray(b.col_off)
+
+    q = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        out = gt_banded_attention(blocks, col_off, q, k, v)
+        return jnp.sum(jnp.sin(out)), out
+
+    def loss_flash(q, k, v):
+        out = gt_flash_attention(blocks, col_off, q, k, v)
+        return jnp.sum(jnp.sin(out)), out
+
+    (_, out_a), grads_a = jax.value_and_grad(loss_ref, argnums=(0, 1, 2),
+                                             has_aux=True)(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        (_, out_b), grads_b = jax.value_and_grad(
+            loss_flash, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+
+    rtol, atol = (3e-2, 3e-2) if bf16 else (2e-5, 2e-5)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=rtol, atol=atol)
+    for ga, gb, name in zip(grads_a, grads_b, "qkv"):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=10 * rtol, atol=10 * atol,
+                                   err_msg=f"d{name}")
