@@ -182,21 +182,30 @@ class GraphSAGE(nn.Module):
                              name=f"neigh{i}") for i in range(3)]
 
         if band is not None:
-            # mean agg = (A x) / deg: symmetric banded SpMM + row scale.
-            # XLA banded variant, not the Pallas kernel: the Pallas one
-            # reproducibly crashes the remote TPU compiler (HTTP 500)
-            # inside THIS encoder's graph (GCN with the same kernel
-            # compiles fine) — see BENCH_ENCODERS_r03.json; revisit.
-            from ..ops.spmm_banded import banded_spmm
-            from ..ops.segment import segment_count
+            # mean agg = (A x) / deg: symmetric banded SpMM + row scale,
+            # through the Pallas kernel by default.  History: this exact
+            # composition reproducibly crashed the ROUND-3 remote TPU
+            # compiler (HTTP 500) while GCN with the same kernel compiled
+            # fine; the round-4 toolchain compiles and runs it (1337 vs
+            # 1713 us/step).  SCGIB_SAGE_PALLAS=0 restores the XLA
+            # fallback should the compiler regress; numerics between the
+            # two paths are pinned by tests/test_sage_pallas.py.
+            import os as _os
+
             import jax.numpy as _jnp
+
+            from ..ops.segment import segment_count
+
+            if _os.environ.get("SCGIB_SAGE_PALLAS", "1") == "1":
+                from ..ops.pallas.banded import spmm_banded_fast as _spmm
+            else:
+                from ..ops.spmm_banded import banded_spmm as _spmm
 
             deg = segment_count(receivers, n, mask=edge_mask)
             inv_deg = 1.0 / _jnp.maximum(deg, 1.0)
 
             def _mean(x):
-                return banded_spmm(band[0], band[1],
-                                   x) * inv_deg[:, None]
+                return _spmm(band[0], band[1], x) * inv_deg[:, None]
         else:
             def _mean(x):
                 return gather_mean(x, senders, receivers, n, edge_mask)
