@@ -402,17 +402,28 @@ def gin_banded_layer_reference(blocks, col_off, h, w1, b1, w2, b2):
 # the pooling path's ~1e-6 agreement with the exact scatter.
 
 
-def _pool_kernel(off_ref, hi_ref, lo_ref, blocks_ref, out_ref):
+def _pool_kernel(off_ref, x_ref, blocks_ref, out_ref):
     p = pl.program_id(0)
     tp, tile, window = blocks_ref.shape
     for j in range(tp):
         t = p * tp + j
         off = pl.multiple_of(off_ref[t], 64)
         b = blocks_ref[j]
-        acc = jnp.dot(b, hi_ref[pl.ds(off, window), :],
-                      preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(b, lo_ref[pl.ds(off, window), :],
-                            preferred_element_type=jnp.float32)
+        win = x_ref[pl.ds(off, window), :]
+        # hi/lo split via BIT masking inside the kernel: the top 16 bits
+        # of an f32 are exactly a bf16 (truncation), the remainder fits a
+        # second bf16 to ~2^-17 relative.  Computing the split with a
+        # convert round-trip in XLA was silently FOLDED AWAY by
+        # --xla_allow_excess_precision=true (bf16->f32->bf16 elision),
+        # degrading the pool to single-bf16 accuracy — bit ops cannot be
+        # elided (round-4 on-chip probe post-mortem).
+        bits = jax.lax.bitcast_convert_type(win, jnp.uint32)
+        hi32 = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        hi = hi32.astype(jnp.bfloat16)
+        lo = (win - hi32).astype(jnp.bfloat16)
+        acc = jnp.dot(b, hi, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(b, lo, preferred_element_type=jnp.float32)
         out_ref[pl.ds(j * tile, tile), :] = acc
 
 
@@ -420,18 +431,17 @@ def pool_banded_pallas(blocks, col_off, data):
     """[T, tile, window] bf16 0/1 blocks x [S, d] f32 -> [T*tile, d] f32.
 
     Requires ``col_off`` entries to be 64-aligned (ops/pool.py aligns its
-    window offsets).  Exactness: see the hi/lo note above."""
+    window offsets).  Exactness: see the in-kernel hi/lo note — the 0/1
+    operand is bf16-exact, so the 2-pass product equals precision=HIGH
+    (~1e-6 vs the exact scatter)."""
     n_tiles, tile, window = blocks.shape
     s, d = data.shape
-    hi = data.astype(jnp.bfloat16)
-    lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     tp = next(t for t in (_TILES_PER_PROGRAM, 2, 1) if n_tiles % t == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # hi: full array
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # lo: full array
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # data: full array
             pl.BlockSpec((tp, tile, window), lambda p, c: (p, 0, 0)),
         ],
         out_specs=pl.BlockSpec((tp * tile, d), lambda p, c: (p, 0)),
@@ -442,10 +452,10 @@ def pool_banded_pallas(blocks, col_off, data):
         out_shape=jax.ShapeDtypeStruct((n_tiles * tile, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(s * d, tp * tile * window // 2,
-                                         window * d, tp * tile * d)),
+                                         4 * window * d, tp * tile * d)),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_tiles * tile * window * d,
-            bytes_accessed=2 * s * d + 2 * blocks.size + 4 * n_tiles
+            bytes_accessed=4 * s * d + 2 * blocks.size + 4 * n_tiles
             * tile * d,
             transcendentals=0),
-    )(col_off, hi, lo, blocks.astype(jnp.bfloat16))
+    )(col_off, data.astype(jnp.float32), blocks.astype(jnp.bfloat16))

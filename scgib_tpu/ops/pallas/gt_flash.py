@@ -46,25 +46,34 @@ from .banded import _TILES_PER_PROGRAM, _vmem_limit
 
 import os as _os
 
-# bf16 multiplicands (f32 accumulation) in the score/output dots — the
-# same native MXU mode XLA's DEFAULT precision gives every flax Dense in
-# the model on TPU.  Mosaic's f32 dot is full precision (and ~3x the
-# passes), so without this the flash kernels would be *more* precise and
-# slower than the rest of the compute path.  SCGIB_GT_BF16=0 forces f32.
-_BF16_DOTS = _os.environ.get("SCGIB_GT_BF16", "1") == "1"
+
+def _bf16_default() -> bool:
+    # bf16 multiplicands (f32 accumulation) in the score/output dots —
+    # the same native MXU mode XLA's DEFAULT precision gives every flax
+    # Dense in the model on TPU.  Mosaic's f32 dot is full precision
+    # (and ~3x the passes), so without this the flash kernels would be
+    # *more* precise and slower than the rest of the compute path.
+    # SCGIB_GT_BF16=0 forces f32.  The choice is threaded as an explicit
+    # STATIC argument (not a module global): jax caches jaxprs per
+    # (function, avals), so a global flip would silently reuse the first
+    # trace.
+    return _os.environ.get("SCGIB_GT_BF16", "1") == "1"
 
 
-def _hdot(a, b):
+def _hdot(a, b, bf16):
     """Contract the trailing dim of both operands (no transposes)."""
-    if _BF16_DOTS:
+    if bf16:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _cdot(a, b):
+def _cdot(a, b, bf16=False):
     """Contract the LEADING dim of both operands: [m, i] x [m, j] -> [i, j]."""
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -110,7 +119,7 @@ def _inv_big(z, ones, eps):
 
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, blocks_ref, out_ref, z_ref,
-                *, num_heads, hd, clamp, eps, scale):
+                *, num_heads, hd, clamp, eps, scale, bf16):
     p = pl.program_id(0)
     tp, tile, band = blocks_ref.shape
     ones_bd = _ones_bd(num_heads, band)
@@ -120,7 +129,7 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, blocks_ref, out_ref, z_ref,
         blk = blocks_ref[j].astype(jnp.float32)
         q_t = q_ref[pl.ds(t * tile, tile), :]             # [tile, H*hd]
         k_bd = _bd(k_ref[pl.ds(off, band), :], num_heads, hd)
-        s_cat = _hdot(q_t, k_bd) * scale                  # [tile, H*band]
+        s_cat = _hdot(q_t, k_bd, bf16) * scale                  # [tile, H*band]
         e_cat = jnp.exp(jnp.clip(s_cat, -clamp, clamp))
         e_cat = e_cat * jnp.concatenate([blk] * num_heads, axis=1)
         z = jnp.dot(e_cat, ones_bd,
@@ -128,13 +137,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, blocks_ref, out_ref, z_ref,
         w_cat = e_cat * _inv_big(z, ones_bd, eps)
         v_bd = _bd(v_ref[pl.ds(off, band), :], num_heads, hd)
         out_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            w_cat, v_bd, preferred_element_type=jnp.float32)
+            w_cat.astype(jnp.bfloat16) if bf16 else w_cat,
+            v_bd.astype(jnp.bfloat16) if bf16 else v_bd,
+            preferred_element_type=jnp.float32)
         z_ref[pl.ds(j * tile, tile), :] = z
 
 
 def _bwd_rows_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref,
                      blocks_ref, dq_ref, rho_ref,
-                     *, num_heads, hd, clamp, eps, scale):
+                     *, num_heads, hd, clamp, eps, scale, bf16):
     p = pl.program_id(0)
     tp, tile, band = blocks_ref.shape
     ones_bd = _ones_bd(num_heads, band)
@@ -147,8 +158,8 @@ def _bwd_rows_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref,
         zb = z_ref[pl.ds(t * tile, tile), :]              # [tile, H]
         k_bd = _bd(k_ref[pl.ds(off, band), :], num_heads, hd)
         v_bd = _bd(v_ref[pl.ds(off, band), :], num_heads, hd)
-        s_cat = _hdot(q_t, k_bd) * scale                  # [tile, H*band]
-        G_cat = _hdot(g_t, v_bd)
+        s_cat = _hdot(q_t, k_bd, bf16) * scale                  # [tile, H*band]
+        G_cat = _hdot(g_t, v_bd, bf16)
         e_cat = jnp.exp(jnp.clip(s_cat, -clamp, clamp))
         e_cat = e_cat * jnp.concatenate([blk] * num_heads, axis=1)
         invbig = _inv_big(zb, ones_bd, eps)
@@ -161,13 +172,15 @@ def _bwd_rows_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref,
         inclip = ((s_cat >= -clamp) & (s_cat <= clamp)).astype(jnp.float32)
         dS_cat = e_cat * inclip * (G_cat - rhobig) * invbig
         dq_ref[pl.ds(j * tile, tile), :] = jnp.dot(
-            dS_cat, k_bd, preferred_element_type=jnp.float32) * scale
+            dS_cat.astype(jnp.bfloat16) if bf16 else dS_cat,
+            k_bd.astype(jnp.bfloat16) if bf16 else k_bd,
+            preferred_element_type=jnp.float32) * scale
         rho_ref[pl.ds(j * tile, tile), :] = rho
 
 
 def _bwd_cols_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref, rho_ref,
                      blocks_t_ref, dk_ref, dv_ref,
-                     *, num_heads, hd, clamp, eps, scale):
+                     *, num_heads, hd, clamp, eps, scale, bf16):
     """Column-tile backward.  ``blocks_t_ref`` [T, band, tile] is the
     TRANSPOSED gate built in XLA (graph/banded.py row/col-swapped
     scatter) — a per-tile in-kernel transpose doubled this kernel's cost
@@ -185,8 +198,8 @@ def _bwd_cols_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref, rho_ref,
         rw = rho_ref[pl.ds(off, band), :]
         k_tbd = _bd(k_ref[pl.ds(t * tile, tile), :], num_heads, hd)
         v_tbd = _bd(v_ref[pl.ds(t * tile, tile), :], num_heads, hd)
-        s_cat = _hdot(q_win, k_tbd) * scale               # [band, H*tile]
-        G_cat = _hdot(g_win, v_tbd)
+        s_cat = _hdot(q_win, k_tbd, bf16) * scale               # [band, H*tile]
+        G_cat = _hdot(g_win, v_tbd, bf16)
         e_cat = jnp.exp(jnp.clip(s_cat, -clamp, clamp))
         e_cat = e_cat * jnp.concatenate([blk_t] * num_heads, axis=1)
         invbig = _inv_big(zw, ones_t, eps)
@@ -199,8 +212,8 @@ def _bwd_cols_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref, rho_ref,
         # collapse [H*tile, H*hd] head-stacks: only block h of columns is
         # wanted per row block h — _cdot gives the stack, the head mask
         # zeroes the off-blocks, 8 slice-adds fold them
-        dk_stack = _cdot(dS_cat, q_win) * scale           # [H*tile, H*hd]
-        dv_stack = _cdot(w_cat, g_win)
+        dk_stack = _cdot(dS_cat, q_win, bf16) * scale     # [H*tile, H*hd]
+        dv_stack = _cdot(w_cat, g_win, bf16)
         hm = _head_mask(num_heads, tile, hd)
         dk_stack = dk_stack * hm
         dv_stack = dv_stack * hm
@@ -213,13 +226,14 @@ def _bwd_cols_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref, rho_ref,
         dv_ref[pl.ds(j * tile, tile), :] = dv
 
 
-def _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd, clamp, eps):
+def _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd, clamp, eps,
+             bf16):
     n_tiles, tile, band = blocks.shape
     n, width = qf.shape
     scale = 1.0 / float(hd) ** 0.5
     tp = next(t for t in (_TILES_PER_PROGRAM, 2, 1) if n_tiles % t == 0)
     kern = functools.partial(_fwd_kernel, num_heads=num_heads, hd=hd,
-                             clamp=clamp, eps=eps, scale=scale)
+                             clamp=clamp, eps=eps, scale=scale, bf16=bf16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tp,),
@@ -236,8 +250,13 @@ def _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd, clamp, eps):
         out_shape=[jax.ShapeDtypeStruct((n, width), jnp.float32),
                    jax.ShapeDtypeStruct((n, num_heads), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            # the head-concatenated intermediates (s/e/w_cat [tile,
+            # H*band], k/v_bd [H*band, width]) dominate scoped VMEM —
+            # undercounting them OOM'd the f32-dot mode on chip
             vmem_limit_bytes=_vmem_limit(3 * n * width,
                                          tp * tile * band,
+                                         6 * tile * num_heads * band,
+                                         4 * num_heads * band * width,
                                          2 * tp * tile * width)),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_tiles * tile * band * width,
@@ -247,14 +266,15 @@ def _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd, clamp, eps):
 
 
 def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
-             eps):
+             eps, bf16):
     n_tiles, tile, band = blocks.shape
     n, width = qf.shape
     scale = 1.0 / float(hd) ** 0.5
     tp = next(t for t in (_TILES_PER_PROGRAM, 2, 1) if n_tiles % t == 0)
 
     kern1 = functools.partial(_bwd_rows_kernel, num_heads=num_heads,
-                              hd=hd, clamp=clamp, eps=eps, scale=scale)
+                              hd=hd, clamp=clamp, eps=eps, scale=scale,
+                              bf16=bf16)
     grid1 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tp,),
@@ -273,6 +293,8 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(5 * n * width,
                                          tp * tile * band,
+                                         8 * tile * num_heads * band,
+                                         4 * num_heads * band * width,
                                          2 * tp * tile * width)),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * n_tiles * tile * band * width,
@@ -283,7 +305,8 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
     # transposed gate, built once in XLA (hoisted out of scans)
     blocks_t = jnp.swapaxes(blocks, 1, 2)
     kern2 = functools.partial(_bwd_cols_kernel, num_heads=num_heads,
-                              hd=hd, clamp=clamp, eps=eps, scale=scale)
+                              hd=hd, clamp=clamp, eps=eps, scale=scale,
+                              bf16=bf16)
     grid2 = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // tp,),
@@ -302,6 +325,8 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit(6 * n * width,
                                          tp * tile * band,
+                                         8 * tile * num_heads * band,
+                                         4 * num_heads * band * width,
                                          2 * tp * tile * width)),
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * n_tiles * tile * band * width,
@@ -311,32 +336,38 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def gt_flash_attention(blocks, col_off, q, k, v, clamp=5.0, eps=1e-6):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gt_flash_attention(blocks, col_off, q, k, v, clamp=5.0, eps=1e-6,
+                       bf16_dots=None):
     """Graph-transformer banded attention, flash-style.  q/k/v [N, H, hd]
     -> [N, H, hd].  Same semantics as
     ``spmm_banded.gt_banded_attention`` (the XLA reference) without HBM
-    score materialization."""
-    out, _ = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps)
+    score materialization.  ``bf16_dots`` (static): None = env default
+    (_bf16_default)."""
+    out, _ = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps,
+                             bf16_dots)
     return out
 
 
-def _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps):
+def _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps, bf16_dots):
+    bf16 = _bf16_default() if bf16_dots is None else bool(bf16_dots)
     n, num_heads, hd = q.shape
     qf = q.reshape(n, num_heads * hd).astype(jnp.float32)
     kf = k.reshape(n, num_heads * hd).astype(jnp.float32)
     vf = v.reshape(n, num_heads * hd).astype(jnp.float32)
     outf, z = _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd,
-                       clamp, eps)
+                       clamp, eps, bf16)
     return outf.reshape(n, num_heads, hd).astype(q.dtype), z
 
 
-def _flash_fwd(blocks, col_off, q, k, v, clamp, eps):
-    out, z = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps)
+def _flash_fwd(blocks, col_off, q, k, v, clamp, eps, bf16_dots):
+    out, z = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps,
+                             bf16_dots)
     return out, (blocks, col_off, q, k, v, z)
 
 
-def _flash_bwd(clamp, eps, res, g):
+def _flash_bwd(clamp, eps, bf16_dots, res, g):
+    bf16 = _bf16_default() if bf16_dots is None else bool(bf16_dots)
     blocks, col_off, q, k, v, z = res
     n, num_heads, hd = q.shape
     qf = q.reshape(n, num_heads * hd).astype(jnp.float32)
@@ -344,7 +375,7 @@ def _flash_bwd(clamp, eps, res, g):
     vf = v.reshape(n, num_heads * hd).astype(jnp.float32)
     gf = g.reshape(n, num_heads * hd).astype(jnp.float32)
     dq, dk, dv = _run_bwd(blocks, col_off, qf, kf, vf, gf, z,
-                          num_heads, hd, clamp, eps)
+                          num_heads, hd, clamp, eps, bf16)
     shape = (n, num_heads, hd)
     return (None, None, dq.reshape(shape).astype(q.dtype),
             dk.reshape(shape).astype(k.dtype),

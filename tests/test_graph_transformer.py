@@ -200,16 +200,13 @@ import pytest
 
 
 @pytest.mark.parametrize("bf16", [False, True])
-def test_gt_flash_matches_banded_xla(bf16, monkeypatch):
+def test_gt_flash_matches_banded_xla(bf16):
     """The flash Pallas kernels (interpret mode on CPU) match the XLA
     banded attention — forward AND input grads.  bf16=False is the
     strict-parity mode; bf16=True is the default native-MXU mode with
     mixed-precision tolerances."""
     import numpy as np
     from jax.experimental.pallas import tpu as pltpu
-
-    from scgib_tpu.ops.pallas import gt_flash as _gtf
-    monkeypatch.setattr(_gtf, "_BF16_DOTS", bf16)
 
     from scgib_tpu.graph.banded import pack_banded
     from scgib_tpu.ops.pallas.gt_flash import gt_flash_attention
@@ -239,7 +236,8 @@ def test_gt_flash_matches_banded_xla(bf16, monkeypatch):
         return jnp.sum(jnp.sin(out)), out
 
     def loss_flash(q, k, v):
-        out = gt_flash_attention(blocks, col_off, q, k, v)
+        out = gt_flash_attention(blocks, col_off, q, k, v,
+                                 bf16_dots=bf16)
         return jnp.sum(jnp.sin(out)), out
 
     (_, out_a), grads_a = jax.value_and_grad(loss_ref, argnums=(0, 1, 2),
