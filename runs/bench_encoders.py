@@ -1,0 +1,57 @@
+"""Full pretrain step timing per encoder family (v5e-1)."""
+import os, sys, time, statistics
+import numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0, "/root/repo")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from scgib_tpu.data.synthetic import random_dataset
+from scgib_tpu.graph.batching import pack_graphs, pack_subgraphs
+from scgib_tpu.graph.egonet import extract_egonets
+from scgib_tpu.models.scgib import PretrainModel
+from scgib_tpu.train.trainer import TrainState, adam_l2, make_pretrain_scan_step
+
+INNER = int(os.environ.get("INNER", "64"))
+ENCODERS = sys.argv[1:] or ["Transformer"]
+graphs = random_dataset(128, seed=0, min_nodes=10, max_nodes=30, feat_dim=9)
+egos = [extract_egonets(g, 1) for g in graphs]
+g = pack_graphs(graphs, 4096, 16384, 128, banded="device")
+sub = pack_subgraphs(graphs, egos, 16384, 65536, banded="device")
+edges = int(np.asarray(g.edge_mask).sum() + np.asarray(sub.edge_mask).sum())
+g = jax.device_put(g); sub = jax.device_put(sub)
+
+f = jax.jit(lambda x: x + 1.0); x0 = jnp.float32(0.)
+for _ in range(3): float(f(x0))
+ts = []
+for i in range(10):
+    t0=time.perf_counter(); float(f(x0)); ts.append(time.perf_counter()-t0)
+rtt = min(ts)
+print(f"rtt {rtt*1e3:.1f} ms", flush=True)
+
+for enc in ENCODERS:
+    model = PretrainModel(in_dim=9, hidden=64, d_transfer=32, encoder=enc)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, g, sub, train=True)
+    tx = adam_l2(1e-4, weight_decay=5e-5)
+    state = TrainState.create(jax.tree_util.tree_map(jnp.copy, variables), tx)
+    step = make_pretrain_scan_step(model, tx, INNER, donate=False)
+    rng = jax.random.PRNGKey(2)
+    rng, kk = jax.random.split(rng)
+    t0 = time.perf_counter()
+    try:
+        state, losses = step(state, g, sub, kk)
+        l0 = float(np.asarray(losses.total)[-1])
+    except Exception as e:
+        print(f"{enc}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+        continue
+    ct = time.perf_counter()-t0
+    walls = []
+    for _ in range(3):
+        rng, kk = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, losses = step(state, g, sub, kk)
+        float(np.asarray(losses.total)[-1])
+        walls.append(time.perf_counter() - t0)
+    wall = statistics.median(walls)
+    us = (wall - rtt) / INNER * 1e6
+    print(f"{enc}: {us:.0f} us/step ({edges/us*1e6/1e6:.2f}e6 edges/s, "
+          f"compile {ct:.0f}s, loss {l0:.3f})", flush=True)
