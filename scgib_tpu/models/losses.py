@@ -22,9 +22,19 @@ from ..ops.segment import segment_sum
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1,
                  eps: float = 1e-12) -> jnp.ndarray:
-    """torch ``F.normalize`` semantics: x / max(||x||, eps)."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch ``F.normalize`` semantics: x / max(||x||, eps).
+
+    The clamp sits INSIDE the sqrt (max(sum(x^2), eps^2) — identical
+    forward: sqrt is monotone) so the backward is finite at x == 0.
+    With ``sqrt`` outside, an all-zero row gives d sqrt(0) = inf and the
+    clamp's zero branch multiplies it into 0 * inf = NaN — which is how
+    the round-4 reference-duration curriculum died at stage-1 epoch 4:
+    after 80 sharpening epochs of stage 0, one real graph's ReLU'd
+    readout went exactly zero and the InfoNCE backward NaN'd the whole
+    model (regression test: test_losses.py::
+    test_contrastive_zero_readout_grads_finite)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def contrastive_infonce(z1: jnp.ndarray, z2: jnp.ndarray,

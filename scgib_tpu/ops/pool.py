@@ -47,10 +47,13 @@ def _pool_matmul(blocks, col_off, data, cc_clip):
     Elsewhere (CPU tests, TPU fallback for huge data): the XLA banded
     dot at precision=HIGH — this is a segment SUM (a statistic), not a
     learned matmul, and the scatter path it replaces is exact f32."""
+    import os as _os
+
     import jax as _jax
 
     if (_jax.default_backend() == "tpu" and data.ndim == 2
-            and data.size * 4 <= (32 << 20)):
+            and data.size * 4 <= (32 << 20)
+            and _os.environ.get("SCGIB_POOL_PALLAS", "1") == "1"):
         from .pallas.banded import pool_banded_pallas
 
         return pool_banded_pallas(blocks, col_off, data)

@@ -181,3 +181,39 @@ def test_segment_softmax_masked_rows_no_overflow():
     a = segment_softmax(logits, seg, 1, mask=mask)
     np.testing.assert_allclose(np.asarray(a)[2:], 0.0)
     np.testing.assert_allclose(np.asarray(a)[:2].sum(), 1.0, rtol=1e-6)
+
+
+def test_contrastive_zero_readout_grads_finite():
+    """An all-zero readout row (a real graph whose ReLU'd node features
+    summed to exactly zero — observed after 80 epochs of stage-0
+    pretraining in the round-4 curriculum) must yield FINITE InfoNCE
+    gradients: l2_normalize clamps inside the sqrt, so the zero row
+    contributes zero gradient instead of 0 * inf = NaN."""
+    import jax
+
+    from scgib_tpu.models.losses import contrastive_infonce, l2_normalize
+
+    g = 8
+    z1 = jnp.asarray(np.random.default_rng(0).normal(size=(g, 16)),
+                     jnp.float32)
+    z2 = jnp.asarray(np.random.default_rng(1).normal(size=(g, 16)),
+                     jnp.float32)
+    z1 = z1.at[3].set(0.0)          # real graph, zero noisy readout
+    z2 = z2.at[5].set(0.0)          # real graph, zero clean readout
+    mask = jnp.ones(g, bool)
+
+    def loss(z1, z2):
+        return contrastive_infonce(z1, z2, mask)
+
+    val = loss(z1, z2)
+    g1, g2 = jax.grad(loss, (0, 1))(z1, z2)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g1)))
+    assert np.all(np.isfinite(np.asarray(g2)))
+
+    # forward semantics unchanged: matches torch F.normalize's
+    # x / max(||x||, eps) for both zero and non-zero rows
+    n = np.asarray(l2_normalize(z1))
+    ref = np.asarray(z1) / np.maximum(
+        np.linalg.norm(np.asarray(z1), axis=-1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(n, ref, rtol=1e-6, atol=1e-7)
