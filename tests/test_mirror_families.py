@@ -297,3 +297,20 @@ def test_adapt_then_finetune_flow(mirror, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "loaded pretrained core" in out
     assert "RESULT Mutagenicity: acc test@best-val =" in out
+
+
+def test_transformer_encoder_journey(mirror, tmp_path, capsys):
+    """The Graph Transformer encoder through the same CLI journey (its
+    banded flash path is TPU-only; on CPU this drives the XLA banded /
+    COO attention through the full finetune flow)."""
+    root = str(tmp_path / "root")
+    cache = str(tmp_path / "cache.npz")
+    cli.main(["download", "--dataset", "Mutagenicity", "--root", root,
+              "--base_url", mirror])
+    cli.main(["preprocess", "--dataset", "Mutagenicity", "--k", "1",
+              "--tudataset_root", root, "--out", cache])
+    cli.main(["finetune", "--dataset", "Mutagenicity", "--cache", cache,
+              "--encoder", "Transformer", "--num_layers", "2",
+              "--num_heads", "4"] + _TINY)
+    out = capsys.readouterr().out
+    assert "RESULT Mutagenicity: acc test@best-val =" in out
