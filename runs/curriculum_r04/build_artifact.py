@@ -36,11 +36,17 @@ def parse(path):
         if m:
             cur["resumed_at"] = {"epoch": int(m.group(1)),
                                  "best_loss": float(m.group(2))}
-        m = re.match(r"pretrain epoch (\d+): loss ([\d.eE+-]+) "
+        m = re.match(r"pretrain epoch (\d+): loss ([\w.eE+-]+) "
                      r"\((\d+) edges/s\)", line)
         if m:
+            try:
+                loss = float(m.group(2))
+            except ValueError:
+                loss = None
+            if loss is not None and loss != loss:   # NaN -> null in JSON
+                loss = None
             cur["epochs"].append({"epoch": int(m.group(1)),
-                                  "loss": float(m.group(2)),
+                                  "loss": loss,
                                   "cum_edges_per_s": int(m.group(3))})
         m = re.match(r"early stop at epoch (\d+) \(patience (\d+)\)", line)
         if m:
