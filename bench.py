@@ -118,8 +118,10 @@ DEVICE_REPS = 3      # timed dispatches for the device path (median)
 SUPER_K = 32         # batches per superbatch dispatch (ONE combined
                      # uint8 upload each: more batches per transfer
                      # round trip on a high-latency link)
-SUSTAINED_BATCHES = 96   # fresh batches per sustained reading
-SUSTAINED_REPS = 3       # sustained readings (median), budget permitting
+SUSTAINED_BATCHES = 192  # fresh batches per sustained reading (6
+                     # superbatches: single-upload jitter on the tunnel
+                     # skewed 3-superbatch readings by +-30%)
+SUSTAINED_REPS = 5       # sustained readings (median), budget permitting
 DATASET_GRAPHS = 1024    # pool the sustained loop draws from
 
 # Reference single-GPU (RTX A5000) DGL/PyTorch pretraining throughput
@@ -277,7 +279,7 @@ def measure_sustained(model, variables, ds, caps):
         losses = None
         t0 = time.perf_counter()
         done = 0
-        it = prefetch_to_device(superbatches(seed), size=2)
+        it = prefetch_to_device(superbatches(seed), size=3)
         for buf, n_edges in it:
             edges += int(n_edges)   # prefetch device_put makes it a scalar
             rng, k = jax.random.split(rng)
