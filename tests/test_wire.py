@@ -221,3 +221,56 @@ def test_wire_compact_ok_detection():
     big = GraphDataset(random_dataset(2, seed=1, min_nodes=150,
                                       max_nodes=180, feat_dim=9), k=1)
     assert not wire_compact_ok(big)
+
+
+def test_wire_compact_ok_rejects_edgeless_graphs():
+    """A graph with no edges makes the compact receiver-delta gap
+    unbounded across batch arrangements — wire_compact_ok must refuse."""
+    from scgib_tpu.data.loader import GraphDataset, wire_compact_ok
+    from scgib_tpu.graph.batching import GraphData
+
+    ok = GraphData(senders=np.asarray([0, 1], np.int32),
+                   receivers=np.asarray([1, 0], np.int32),
+                   node_feat=np.zeros((2, 9), np.float32))
+    lone = GraphData(senders=np.zeros(0, np.int32),
+                     receivers=np.zeros(0, np.int32),
+                     node_feat=np.zeros((3, 9), np.float32))
+    assert wire_compact_ok(GraphDataset([ok, ok], k=1))
+    assert not wire_compact_ok(GraphDataset([ok, lone, ok], k=1))
+
+
+def test_wire_compact_roundtrip_many_shapes():
+    """Compact wire roundtrip across many random datasets/capacities:
+    every real index reconstructs exactly and all padded indices stay in
+    range."""
+    from scgib_tpu.data.loader import (GraphDataset, batch_iterator,
+                                      plan_capacities, wire_compact_ok)
+
+    for seed, (lo, hi) in [(0, (4, 10)), (1, (10, 30)), (2, (25, 33))]:
+        ds = GraphDataset(random_dataset(40, seed=seed, min_nodes=lo,
+                                         max_nodes=hi, feat_dim=9), k=1)
+        assert wire_compact_ok(ds)
+        caps = plan_capacities(ds, 16)
+        for g, sub in batch_iterator(ds, 16, caps, shuffle=True,
+                                     seed=seed):
+            g2 = jax.jit(from_wire_graph)(to_wire_graph(g, compact=True))
+            s2 = jax.jit(from_wire_sub)(to_wire_sub(sub, compact=True))
+            _assert_masked_batch_equal(g2, g)
+            _assert_masked_batch_equal(s2, sub)
+            for arr, cap in ((g2.senders, g.node_feat.shape[0]),
+                             (g2.receivers, g.node_feat.shape[0]),
+                             (s2.senders, sub.node_center.shape[0]),
+                             (s2.receivers, sub.node_center.shape[0]),
+                             (s2.node_orig, g.node_feat.shape[0])):
+                a = np.asarray(arr)
+                assert a.min() >= 0 and a.max() < cap
+
+
+def test_gt_band_fits_boundary():
+    """(64, 128) GT geometry fits exactly up to 33-node components."""
+    from scgib_tpu.graph.banded import gt_band_fits
+
+    assert gt_band_fits(33, 4096)
+    assert not gt_band_fits(34, 4096)
+    assert not gt_band_fits(10, 100)        # cap not a tile multiple
+    assert not gt_band_fits(10, 64)         # cap below one band
