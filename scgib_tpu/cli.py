@@ -188,7 +188,7 @@ def cmd_pretrain(args):
                                   autosave_path=args.autosave or None,
                                   autosave_every=args.autosave_every,
                                   superbatch_k=sb,
-                                  superbatch_specs=sb_specs,
+                                  superbatch_spec=sb_specs,
                                   logm_k=(args.k if
                                           args.recons_type == "logM"
                                           else None))
@@ -285,7 +285,7 @@ def _run_curriculum(args):
         state, info = run_pretraining(
             step, state, ds, caps, args.batch_size, epochs=args.epochs,
             patience=args.patience, seed=args.seed + stage_i,
-            logm_k=logm_k, superbatch_k=sb, superbatch_specs=sb_specs,
+            logm_k=logm_k, superbatch_k=sb, superbatch_spec=sb_specs,
             autosave_path=(f"{autosave}.stage{stage_i}" if autosave
                            else None),
             autosave_every=getattr(args, "autosave_every", 1))

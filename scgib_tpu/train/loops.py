@@ -52,7 +52,7 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     autosave_every: int = 1,
                     logm_k: Optional[int] = None,
                     superbatch_k: int = 0,
-                    superbatch_specs=None
+                    superbatch_spec=None
                     ) -> Tuple[TrainState, Dict]:
     """One pretraining stage.  Returns (final state, info) where
     info['best_variables'] are the best-train-loss weights.
@@ -110,7 +110,7 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     wire_superbatches(ds, batch_size, caps, superbatch_k,
                                       shuffle=True, seed=seed + epoch,
                                       logm_k=logm_k,
-                                      byte_spec=superbatch_specs)):
+                                      byte_spec=superbatch_spec)):
                 rng, k = jax.random.split(rng)
                 with timer.step(edges=int(n_edges),
                                 graphs=batch_size * superbatch_k):

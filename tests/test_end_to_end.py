@@ -103,7 +103,7 @@ def test_pretrain_superbatch_loop(tmp_path):
     autosave = str(tmp_path / "auto.msgpack")
     state, info = run_pretraining(step, state, ds, caps, 16, epochs=3,
                                   seed=1, superbatch_k=2,
-                                  superbatch_specs=specs,
+                                  superbatch_spec=specs,
                                   autosave_path=autosave, log=None)
     assert np.isfinite(info["best_loss"])
     assert len(info["history"]) == 3
@@ -113,6 +113,6 @@ def test_pretrain_superbatch_loop(tmp_path):
     state2 = TrainState.create(variables, tx)
     state2, info2 = run_pretraining(step, state2, ds, caps, 16, epochs=5,
                                     seed=1, superbatch_k=2,
-                                    superbatch_specs=specs,
+                                    superbatch_spec=specs,
                                     autosave_path=autosave, log=None)
     assert len(info2["history"]) == 3 + 2  # 3 restored + 2 new
