@@ -103,8 +103,14 @@ def _build_dataset(args, num_tasks=None, feat_dim=9):
             print(f"skipped {len(skipped)} unparseable SMILES")
         return GraphDataset(graphs, k=args.k)
     if args.synthetic:
-        graphs = random_dataset(args.synthetic, seed=args.seed,
-                                feat_dim=feat_dim, num_tasks=num_tasks)
+        if getattr(args, "synthetic_mode", "random") == "structured":
+            from .data.synthetic import structured_dataset
+            graphs = structured_dataset(args.synthetic, seed=args.seed,
+                                        feat_dim=feat_dim)
+        else:
+            graphs = random_dataset(args.synthetic, seed=args.seed,
+                                    feat_dim=feat_dim,
+                                    num_tasks=num_tasks)
         return GraphDataset(graphs, k=args.k)
     raise SystemExit("no data: pass --cache <npz>, --molnet_root DIR, "
                      "--ogb_raw DIR, --smiles_csv FILE, "
@@ -230,8 +236,13 @@ def _run_curriculum(args):
         if not args.synthetic:
             raise SystemExit("curriculum needs --stage_caches or "
                              "--synthetic N")
+        if getattr(args, "synthetic_mode", "random") == "structured":
+            from .data.synthetic import structured_dataset as _gen
+        else:
+            def _gen(n, seed, feat_dim):
+                return random_dataset(n, seed=seed, feat_dim=feat_dim)
         stage_data = [
-            (name, GraphDataset(random_dataset(
+            (name, GraphDataset(_gen(
                 args.synthetic, seed=args.seed + i, feat_dim=fd),
                 k=args.k))
             for i, (name, fd) in enumerate(PRETRAIN_STAGES)]
@@ -576,6 +587,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help=".npz dataset cache (data/cache.py format)")
         sp.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic molecules instead")
+        sp.add_argument("--synthetic_mode", default="random",
+                        choices=["random", "structured"],
+                        help="synthetic corpus flavor: 'structured' has "
+                             "structure-correlated node features so "
+                             "pretraining has signal to compress "
+                             "(data/synthetic.py::structured_dataset)")
         sp.add_argument("--molnet_root", default=None,
                         help="MoleculeNet root dir with raw CSVs "
                              "(data/molnet.py)")

@@ -85,7 +85,8 @@ def pack_graphs(graphs: Sequence[GraphData],
                 num_edges: int,
                 num_graphs: int,
                 num_tasks: Optional[int] = None,
-                banded="device") -> GraphBatch:
+                banded="device",
+                gt_fits: Optional[bool] = None) -> GraphBatch:
     """Pack graphs into one padded GraphBatch with the given capacities.
 
     Edges are sorted by receiver (then sender) so device-side segment
@@ -157,9 +158,16 @@ def pack_graphs(graphs: Sequence[GraphData],
                                                 edge_mask, num_nodes,
                                                 mode=banded)
 
-    from .banded import gt_band_fits
-    gt_ok = gt_band_fits(max((g.num_nodes for g in graphs), default=0),
-                         num_nodes)
+    if gt_fits is None:
+        # gt_fits is a STATIC (jit-cache-key) flag; deriving it from the
+        # current batch's max graph can flip between batches of one
+        # dataset and retrace.  Callers with dataset context pass the
+        # dataset-level value (loader.pack_batch, data/flat.py); this
+        # per-batch fallback serves one-off/test callers (ADVICE round 4).
+        from .banded import gt_band_fits
+        gt_fits = gt_band_fits(max((g.num_nodes for g in graphs),
+                                   default=0), num_nodes)
+    gt_ok = gt_fits
     return GraphBatch(
         node_feat=node_feat, node_graph=node_graph, node_mask=node_mask,
         senders=senders, receivers=receivers, edge_mask=edge_mask,
@@ -257,7 +265,8 @@ def pack_subgraphs(graphs: Sequence[GraphData],
                    num_sub_nodes: int,
                    num_sub_edges: int,
                    banded="device",
-                   with_features: bool = False) -> SubgraphBatch:
+                   with_features: bool = False,
+                   gt_fits: Optional[bool] = None) -> SubgraphBatch:
     """Flatten per-node ego-nets of a batch into one padded SubgraphBatch.
 
     Mirrors the reference's ``chain.from_iterable(batch_subgraphs)`` +
@@ -325,10 +334,14 @@ def pack_subgraphs(graphs: Sequence[GraphData],
         band_blocks, band_col_off = _try_banded(senders, receivers,
                                                 edge_mask, num_sub_nodes,
                                                 mode=banded)
-    from .banded import gt_band_fits
-    gt_ok = gt_band_fits(
-        max((int(np.diff(f.node_off).max(initial=0)) for f in flats),
-            default=0), num_sub_nodes)
+    if gt_fits is None:
+        # per-batch fallback; dataset-aware callers pass the stable value
+        # (see pack_graphs — gt_fits is a jit-cache-key static flag)
+        from .banded import gt_band_fits
+        gt_fits = gt_band_fits(
+            max((int(np.diff(f.node_off).max(initial=0)) for f in flats),
+                default=0), num_sub_nodes)
+    gt_ok = gt_fits
     return SubgraphBatch(
         node_feat=node_feat, node_center=node_center, node_orig=node_orig,
         node_mask=node_mask, senders=senders,

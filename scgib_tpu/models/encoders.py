@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.spmm import gather_sum, gather_mean, gcn_norm_sum, sddmm_dot
+from ..utils.knobs import env_flag as _env_flag, env_knob as _env_knob
 from ..ops.spmm_banded import banded_spmm
 from ..ops.segment import segment_sum, segment_normalize_exp
 from .layers import MaskedBatchNorm, MLP2
@@ -80,7 +81,7 @@ class GIN(nn.Module):
 
             fuse = (band is not None
                     and _jax.default_backend() == "tpu"
-                    and _os.environ.get("SCGIB_USE_PALLAS", "1") == "1")
+                    and _env_flag("SCGIB_USE_PALLAS"))
         for i in range(self.num_convs):
             mlp = MLP2(self.hidden, self.hidden, name=f"conv{i}")
             if band is not None and fuse:
@@ -91,7 +92,7 @@ class GIN(nn.Module):
 
                 from ..ops.pallas.banded import gin_banded_layer
 
-                cdt = self.compute_dtype or _os.environ.get(
+                cdt = self.compute_dtype or _env_knob(
                     "SCGIB_COMPUTE_DTYPE")
                 _ = mlp(h[:1])   # register params; DCE'd under jit
                 p = mlp.variables["params"]
@@ -196,7 +197,7 @@ class GraphSAGE(nn.Module):
 
             from ..ops.segment import segment_count
 
-            if _os.environ.get("SCGIB_SAGE_PALLAS", "1") == "1":
+            if _env_flag("SCGIB_SAGE_PALLAS"):
                 from ..ops.pallas.banded import spmm_banded_fast as _spmm
             else:
                 from ..ops.spmm_banded import banded_spmm as _spmm
@@ -244,7 +245,7 @@ class GraphTransformerLayer(nn.Module):
             import os as _os
 
             if (_jax.default_backend() == "tpu"
-                    and _os.environ.get("SCGIB_GT_FLASH", "1") == "1"):
+                    and _env_flag("SCGIB_GT_FLASH")):
                 # flash-style Pallas kernels: scores never leave VMEM
                 # (the XLA banded form materialized [T, H, tile, band]
                 # tensors in HBM — 43.8 ms/step at bench shapes,
@@ -297,7 +298,7 @@ class GraphTransformer(nn.Module):
 
         if (band is not None and gt_fits
                 and _jax.default_backend() == "tpu"
-                and _os.environ.get("SCGIB_GT_FLASH", "1") == "1"):
+                and _env_flag("SCGIB_GT_FLASH")):
             # narrower attention-specific banded geometry (tile=64,
             # band=128): the flash kernels are VPU-bound on the dense
             # window, so halving the band halves their work.  gt_fits is

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .segment import _apply_mask
+from ..utils.knobs import env_flag as _env_flag
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())
@@ -53,7 +54,7 @@ def _pool_matmul(blocks, col_off, data, cc_clip):
 
     if (_jax.default_backend() == "tpu" and data.ndim == 2
             and data.size * 4 <= (32 << 20)
-            and _os.environ.get("SCGIB_POOL_PALLAS", "1") == "1"):
+            and _env_flag("SCGIB_POOL_PALLAS")):
         from .pallas.banded import pool_banded_pallas
 
         return pool_banded_pallas(blocks, col_off, data)

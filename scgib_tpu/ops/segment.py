@@ -20,6 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.knobs import env_knob as _env_knob
+
 
 def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     if mask is None:
@@ -49,7 +51,7 @@ _DENSE_LIMIT = 4 * 1024 * 1024
 
 
 def _dense_ok(n_rows: int, num_segments: int) -> bool:
-    mode = os.environ.get("SCGIB_SEGMENT_DENSE", "auto")
+    mode = _env_knob("SCGIB_SEGMENT_DENSE", "auto")
     if mode == "0":
         return False
     if mode == "1":
@@ -70,10 +72,13 @@ def _segment_sum_dense(data: jnp.ndarray, segment_ids: jnp.ndarray,
 
     precision=HIGH (3-pass bf16) rather than HIGHEST (6-pass): the
     one-hot operand is EXACTLY representable in bf16 (0/1), so the
-    passes involving its low half vanish — HIGH loses nothing over
-    HIGHEST here beyond the data's own hi/lo split, which HIGH already
-    carries.  Verified on chip vs the exact scatter (TPU_PARITY probes),
-    at half the MXU passes."""
+    passes involving its low half vanish.  HIGH still reduces the DATA
+    operand to its bf16x2 hi+lo representation (~2^-17 per element vs
+    HIGHEST's ~2^-24), so the result is NOT f32-exact: on-chip probes
+    bound the error at ~1e-6 relative vs the exact scatter (TPU_PARITY
+    probes) — an accepted tradeoff for half the MXU passes.  No consumer
+    relies on exactness (segment_softmax's max-shift only needs an
+    approximate shift; stats paths tolerate 1e-6)."""
     n = data.shape[0]
     oh = _onehot(segment_ids, num_segments, data.dtype)
     flat = data.reshape(n, -1)
@@ -136,7 +141,10 @@ def segment_broadcast(values: jnp.ndarray, segment_ids: jnp.ndarray,
         flat = values.reshape(num_segments, -1)
         # HIGH, not HIGHEST: exact-bf16 one-hot operand (see
         # _segment_sum_dense) — XLA transposes this dot's precision into
-        # the backward dot unchanged
+        # the backward dot unchanged.  NOTE this makes the broadcast a
+        # ~1e-6-relative copy, not bit-exact (the data operand is split
+        # to bf16 hi+lo); all consumers tolerate that (segment_softmax
+        # subtracts an approximate max, which only shifts the exp range).
         out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGH)
         return out.reshape(segment_ids.shape[:1] + values.shape[1:])
     return _segment_broadcast_take(values, segment_ids, num_segments)

@@ -24,6 +24,7 @@ module, so it effectively saves the *last* epoch (exp_pretraining.py:69-72
 
 from __future__ import annotations
 
+import math
 import time
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -41,6 +42,38 @@ from .trainer import TrainState
 
 def _snapshot(state: TrainState):
     return jax.tree_util.tree_map(np.asarray, state.variables)
+
+
+class NonFiniteLossError(RuntimeError):
+    """Raised when a training epoch's loss is NaN/Inf.
+
+    Round-4 post-mortem (runs/curriculum_r04/run_attempt1_nan.log): a NaN
+    epoch reads as merely "no improvement" to the patience counter, so an
+    unattended stage burned 50 consecutive NaN epochs (~an hour of chip
+    time) optimizing corrupted weights and then recorded a
+    legitimate-looking early stop.  The guard halts the stage at the FIRST
+    non-finite epoch instead.  ``info`` carries the last-healthy
+    bookkeeping (``best_variables`` from before the divergence — or None
+    when ``track_best=False`` left nothing trustworthy) so callers can
+    persist good weights; the exception itself propagates so drivers exit
+    nonzero rather than writing a checkpoint descended from the NaN run.
+    """
+
+    def __init__(self, message: str, info: Optional[Dict] = None):
+        super().__init__(message)
+        self.info = info if info is not None else {}
+
+
+def _guard_finite(epoch_loss: float, epoch: int, stage: str,
+                  info: Dict, log: Optional[Callable[[str], None]]):
+    if math.isfinite(epoch_loss):
+        return
+    if log:
+        log(f"FATAL: non-finite {stage} loss {epoch_loss} at epoch "
+            f"{epoch} — halting (healthy best is epoch "
+            f"{info.get('best_epoch', -1)})")
+    raise NonFiniteLossError(
+        f"{stage} loss became non-finite at epoch {epoch}", info)
 
 
 def run_pretraining(step_fn: Callable, state: TrainState,
@@ -138,6 +171,11 @@ def run_pretraining(step_fn: Callable, state: TrainState,
         if log:
             log(f"pretrain epoch {epoch}: loss {epoch_loss:.5f} "
                 f"({timer.edges_per_s:.0f} edges/s)")
+        _guard_finite(epoch_loss, epoch, "pretrain",
+                      {"best_variables": best_vars, "best_loss": best_loss,
+                       "best_epoch": best_epoch, "history": history,
+                       "nonfinite_epoch": epoch,
+                       "throughput": timer.summary()}, log)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
             best_epoch = epoch
@@ -311,6 +349,10 @@ def run_finetune(step_fn: Callable, eval_fn: Callable, state: TrainState,
             total += float(loss)
             nb += 1
         epoch_loss = total / max(nb, 1)
+        _guard_finite(epoch_loss, epoch, "finetune",
+                      {"best_val": best_val, "best_test": best_test,
+                       "best_epoch": best_epoch, "history": history,
+                       "nonfinite_epoch": epoch}, log)
 
         val = val_eval.evaluate(eval_fn, state.variables)
         test = test_eval.evaluate(eval_fn, state.variables)
@@ -394,6 +436,9 @@ def run_domain_adaptation(step_fn: Callable, state: TrainState,
         epoch_loss = total / max(nb, 1)
         if log:
             log(f"adapt epoch {epoch}: loss {epoch_loss:.5f}")
+        _guard_finite(epoch_loss, epoch, "adapt",
+                      {"best_variables": best_vars, "best_loss": best,
+                       "nonfinite_epoch": epoch}, log)
         if epoch_loss < best:
             best = epoch_loss
             best_vars = _snapshot(state)

@@ -4,6 +4,7 @@ from its autosave reaches bit-identical state to an uninterrupted run
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from scgib_tpu.data.loader import GraphDataset, batch_iterator, \
     plan_capacities
@@ -176,3 +177,36 @@ def test_resume_at_stage_boundary_keeps_best_weights(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(info_a["best_variables"]),
                     jax.tree_util.tree_leaves(info_b["best_variables"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_guard_halts_pretraining(tmp_path):
+    """Round-4 post-mortem (run_attempt1_nan.log): a stage burned 50
+    NaN epochs because patience treated NaN as "no improvement".  The
+    guard must raise at the FIRST non-finite epoch, carrying the
+    last-healthy best weights — never the corrupted state."""
+    import pytest
+
+    from scgib_tpu.train.loops import NonFiniteLossError
+
+    ds, caps, variables, tx, step = _setup()
+    calls = {"n": 0}
+
+    def poisoned_step(state, g, sub, rng):
+        state, losses = step(state, g, sub, rng)
+        calls["n"] += 1
+        if calls["n"] > 4:   # diverge partway through epoch 1
+            losses = losses._replace(kl=jnp.float32(jnp.nan))
+        return state, losses
+
+    state = TrainState.create(variables, tx)
+    with pytest.raises(NonFiniteLossError) as ei:
+        run_pretraining(poisoned_step, state, ds, caps, BATCH,
+                        epochs=10, seed=11, log=None)
+    info = ei.value.info
+    assert info["nonfinite_epoch"] == 1
+    # epoch 0 was healthy and tracked
+    assert info["best_epoch"] == 0
+    assert np.isfinite(info["best_loss"])
+    assert info["best_variables"] is not None
+    for leaf in jax.tree_util.tree_leaves(info["best_variables"]):
+        assert np.isfinite(np.asarray(leaf)).all()
