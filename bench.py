@@ -104,10 +104,10 @@ def _vlog(msg):
 
 
 BATCH_GRAPHS = 128
-NODE_CAP = 4096
-EDGE_CAP = 16384
-SUB_NODE_CAP = 16384
-SUB_EDGE_CAP = 65536
+# device-path capacities: planned from the pool statistics at runtime
+# (plan_capacities sqrt-sigma sizing).  Rounds 1-4 hardcoded 4096/16384/
+# 16384/65536 here, which made 53-82% of every buffer padding — shipped
+# over the tunnel and swept by every kernel (round-5 trace).
 FEAT = 9
 HIDDEN = 64
 DT = 32
@@ -225,7 +225,11 @@ def measure_sustained(model, variables, ds, caps):
 
     Budget-aware: takes up to SUSTAINED_REPS readings but stops when the
     global budget is nearly spent.  Returns (median_rate, n_readings,
-    wire_bytes_per_batch)."""
+    wire_bytes_per_batch, per_rep) where per_rep carries each reading's
+    rate AND the link weather measured next to it (MB/s + RTT), so
+    cross-round comparisons can separate code changes from tunnel
+    weather (VERDICT r4 next 8: the same code measured 0.98-1.74x as
+    the link moved 58-94 MB/s)."""
     tx = adam_l2(1e-4, weight_decay=5e-5)
     state = TrainState.create(
         jax.tree_util.tree_map(jnp.copy, variables), tx)
@@ -279,7 +283,10 @@ def measure_sustained(model, variables, ds, caps):
         losses = None
         t0 = time.perf_counter()
         done = 0
-        it = prefetch_to_device(superbatches(seed), size=3)
+        # host_stage=2: pack/wire-serialize in their own thread so the
+        # uploader thread only device_puts (pack ~70 ms/superbatch would
+        # otherwise serialize with the put handoff)
+        it = prefetch_to_device(superbatches(seed), size=3, host_stage=2)
         for buf, n_edges in it:
             edges += int(n_edges)   # prefetch device_put makes it a scalar
             rng, k = jax.random.split(rng)
@@ -297,7 +304,21 @@ def measure_sustained(model, variables, ds, caps):
     warm_dt = time.perf_counter() - warm_t0
     _vlog(f"sustained warmup done ({warm_dt:.1f}s)")
 
+    _probe_buf = np.zeros(4 << 20, np.uint8)
+
+    def link_probe():
+        """Instantaneous link rate (MB/s) + RTT (ms) next to a reading."""
+        jax.block_until_ready(jax.device_put(_probe_buf))
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(_probe_buf))
+        rate = _probe_buf.nbytes / (time.perf_counter() - t0) / 1e6
+        f = jax.jit(lambda x: x + 1.0)
+        t0 = time.perf_counter()
+        float(f(jnp.float32(0.0)))
+        return round(rate, 1), round((time.perf_counter() - t0) * 1e3, 1)
+
     rates = []
+    per_rep = []
     for i in range(SUSTAINED_REPS):
         # the first TWO readings always run: a reading costs ~1-3 s
         # (96 batches), nothing next to the warmup compile that may have
@@ -306,13 +327,20 @@ def measure_sustained(model, variables, ds, caps):
         if len(rates) >= 2 and _remaining() < 1.5 * last_dt + 10:
             _vlog(f"budget: stopping after {len(rates)} readings")
             break
+        mbps, rtt_ms = link_probe()
         last_dt, edges, state = run_batches(SUSTAINED_BATCHES, state, seed=i)
         _vlog(f"sustained rep {i}: {edges/last_dt:.3e} edges/s "
-              f"({last_dt*1e3/SUSTAINED_BATCHES:.2f} ms/batch)")
+              f"({last_dt*1e3/SUSTAINED_BATCHES:.2f} ms/batch, "
+              f"link {mbps} MB/s rtt {rtt_ms} ms)")
         rates.append(edges / last_dt)
+        per_rep.append({"edges_per_s": round(edges / last_dt, 1),
+                        "ms_per_batch": round(
+                            last_dt * 1e3 / SUSTAINED_BATCHES, 2),
+                        "link_mbps": mbps, "rtt_ms": rtt_ms})
     if not rates:
-        return None, 0, wire_bytes_per_batch
-    return statistics.median(rates), len(rates), wire_bytes_per_batch
+        return None, 0, wire_bytes_per_batch, per_rep
+    return statistics.median(rates), len(rates), wire_bytes_per_batch, \
+        per_rep
 
 
 def main():
@@ -326,6 +354,14 @@ def main():
     egos = [extract_egonets(g, 1) for g in graphs]
     banded = {"0": False, "host": True, "1": True}.get(
         os.environ.get("BENCH_BANDED", "device"), "device")
+    # size the padded buffers from the distribution, not worst-case
+    # constants (same sqrt-sigma plan the production loader uses)
+    dcaps = plan_capacities(GraphDataset(list(graphs), k=1, egonets=egos),
+                            BATCH_GRAPHS)
+    NODE_CAP, EDGE_CAP = dcaps.nodes, dcaps.edges
+    SUB_NODE_CAP, SUB_EDGE_CAP = dcaps.sub_nodes, dcaps.sub_edges
+    _vlog(f"device-path caps: nodes {NODE_CAP} edges {EDGE_CAP} "
+          f"sub {SUB_NODE_CAP}/{SUB_EDGE_CAP}")
     g = pack_graphs(graphs, NODE_CAP, EDGE_CAP, BATCH_GRAPHS,
                     banded=banded)
     coo_sub = pack_subgraphs(graphs, egos, SUB_NODE_CAP, SUB_EDGE_CAP,
@@ -383,6 +419,7 @@ def main():
         "wire_kb_per_batch": None, "device_edges_per_s": None,
         "device_us_per_step": None, "dispatch_wall_ms": None,
         "mfu": None, "flops": None, "link_mbps": None,
+        "sustained_per_rep": [], "sustained_comp_edges_per_s": None,
     }
 
     def emit():
@@ -405,6 +442,12 @@ def main():
             "sustained_vs_baseline": (round(sus / baseline, 3)
                                       if sus else None),
             "sustained_reps": results["sustained_reps"],
+            "sustained_per_rep": results["sustained_per_rep"],
+            "sustained_comp_edges_per_s":
+                results["sustained_comp_edges_per_s"],
+            "sustained_comp_vs_baseline": (
+                round(results["sustained_comp_edges_per_s"] / baseline, 3)
+                if results["sustained_comp_edges_per_s"] else None),
             "wire_kb_per_batch": results["wire_kb_per_batch"],
             "device_edges_per_s": (round(dev, 1) if dev else None),
             "device_vs_baseline": (round(dev / baseline, 3)
@@ -431,11 +474,29 @@ def main():
     # three rounds of record behind it) --------------------------------
     if not os.environ.get("BENCH_SKIP_SUSTAINED"):
         try:
-            sus, reps, wire_b = measure_sustained(model, variables, ds,
-                                                  caps)
+            sus, reps, wire_b, per_rep = measure_sustained(
+                model, variables, ds, caps)
             results["sustained_edges_per_s"] = sus
             results["sustained_reps"] = reps
             results["wire_kb_per_batch"] = round(wire_b / 1e3, 1)
+            results["sustained_per_rep"] = per_rep
+            # link-weather-compensated median: re-predict each reading's
+            # per-batch time at a fixed reference link rate (default
+            # 75 MB/s, the round-4 session middle) by swapping the wire
+            # transfer term — valid while the loop is transfer-bound or
+            # near it; raw readings stay on the record beside it
+            ref = float(os.environ.get("BENCH_REF_LINK_MBPS", "75")) * 1e6
+            comp = []
+            for r in per_rep:
+                if not r["link_mbps"]:
+                    continue
+                t_b = r["ms_per_batch"] / 1e3
+                t_comp = max(t_b - wire_b / (r["link_mbps"] * 1e6)
+                             + wire_b / ref, 1e-6)
+                comp.append(r["edges_per_s"] * t_b / t_comp)
+            if comp:
+                results["sustained_comp_edges_per_s"] = round(
+                    statistics.median(comp), 1)
         except Exception as exc:                      # noqa: BLE001
             _vlog(f"sustained phase failed: {exc!r}")
     emit()   # provisional: sustained stands even if the rest is killed

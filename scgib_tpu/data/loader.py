@@ -110,10 +110,20 @@ class Capacities:
 
 def plan_capacities(ds: GraphDataset, batch_size: int,
                     bucket: BucketSpec = BucketSpec(),
-                    safety: float = 1.1) -> Capacities:
-    """Size padded buffers so any ``batch_size`` contiguous sample fits:
-    batch_size * (mean + 3 std) per quantity, floored at batch_size * max
-    single graph, with a safety factor, rounded up to bucket multiples."""
+                    safety: float = 1.1,
+                    sigma_scale: str = "sqrt") -> Capacities:
+    """Size padded buffers so any ``batch_size`` random sample fits:
+    batch_size * mean + 3 sigma-of-the-SUM per quantity, floored at the
+    max single graph, with a safety factor, rounded to bucket multiples.
+
+    ``sigma_scale='sqrt'`` (default): the sum of B i.i.d. sizes has
+    std = sigma * sqrt(B), so the 3-sigma headroom scales with sqrt(B).
+    Rounds 1-4 used ``'linear'`` (batch_size * (mean + 3 sigma)), which
+    overstates the headroom by sqrt(B) and made ~53% of every padded
+    buffer — and of the wire bytes the tunnel ships, and of the rows the
+    device kernels sweep — pure padding (measured, VERDICT r5 session).
+    The greedy shrink in ``plan_batches`` handles the rare overflowing
+    tail either way."""
     n = np.array([g.num_nodes for g in ds.graphs], dtype=np.float64)
     e = np.array([max(g.num_edges, 1) for g in ds.graphs], dtype=np.float64)
     sn = np.array([sum(len(nl) for nl in ego.node_lists)
@@ -122,7 +132,9 @@ def plan_capacities(ds: GraphDataset, batch_size: int,
                    for ego in ds.egonets], dtype=np.float64)
 
     def cap(arr):
-        est = batch_size * (arr.mean() + 3.0 * arr.std())
+        scale = (np.sqrt(batch_size) if sigma_scale == "sqrt"
+                 else batch_size)
+        est = batch_size * arr.mean() + 3.0 * arr.std() * scale
         return int(max(est, arr.max()) * safety)
 
     return Capacities(

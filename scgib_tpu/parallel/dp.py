@@ -197,3 +197,66 @@ def bce_sum_count(scores, labels, mask):
            + (1.0 - labels) * _safe_log(1.0 - scores))
     m = mask.astype(ll.dtype)
     return jnp.sum(ll * m), jnp.sum(m)
+
+
+def make_dp_superbatch_step(model, tx: optax.GradientTransformation,
+                            mesh: Mesh, byte_spec,
+                            donate: bool = True) -> Callable:
+    """Data-parallel SUPERBATCH step: the production wire transport
+    (graph/wire.py single-uint8-buffer encoding) lifted to the mesh.
+
+    Each shard receives its own combined uint8 buffer of K wire batches
+    (stacked ``[D, nbytes]``, sharded ``P('data')``); on device every
+    shard unpacks its buffer and the mesh scans K REAL optimizer steps —
+    grads/losses psum'd per inner step, BatchNorm running stats pmean'd,
+    exactly like ``make_dp_pretrain_step`` — so D*K batches are consumed
+    per dispatch with one transfer per shard.  Signature:
+    ``(state, bufs[D, nbytes], rng[D]) -> (state, losses[K])``.
+
+    ``model`` must be built with ``axis_name=DATA_AXIS`` (sync-BN +
+    global InfoNCE denominator).  ``byte_spec`` is the per-shard
+    ByteSpec from ``loader.superbatch_spec``.
+    """
+    from ..graph.wire import (from_wire_graph, from_wire_sub,
+                              unpack_bytes)
+
+    def shard_step(state: TrainState, buf, rng):
+        buf = buf[0]
+        rng = rng[0]
+        gs, subs = unpack_bytes(buf, byte_spec)
+
+        def loss_fn(params, batch_stats, g, sub, k):
+            losses, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                g, sub, train=True, mutable=["batch_stats"],
+                rngs=_model_rngs(k))
+            return losses.total, (losses, mutated["batch_stats"])
+
+        def body(carry, batch):
+            st, i = carry
+            wg, wsub = batch
+            g = from_wire_graph(wg)
+            sub = from_wire_sub(wsub)
+            k = jax.random.fold_in(rng, i)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (losses, new_bs)), grads = grad_fn(
+                st.params, st.batch_stats, g, sub, k)
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            losses = jax.lax.psum(losses, DATA_AXIS)
+            new_bs = jax.lax.pmean(new_bs, DATA_AXIS)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            return (TrainState(params=new_params, batch_stats=new_bs,
+                               opt_state=new_opt, step=st.step + 1),
+                    i + 1), losses
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, jnp.int32(0)), (gs, subs))
+        return state, losses
+
+    sharded = shard_map(
+        shard_step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

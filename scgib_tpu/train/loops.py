@@ -143,7 +143,8 @@ def run_pretraining(step_fn: Callable, state: TrainState,
                     wire_superbatches(ds, batch_size, caps, superbatch_k,
                                       shuffle=True, seed=seed + epoch,
                                       logm_k=logm_k,
-                                      byte_spec=superbatch_spec)):
+                                      byte_spec=superbatch_spec),
+                    size=3, host_stage=2):
                 rng, k = jax.random.split(rng)
                 with timer.step(edges=int(n_edges),
                                 graphs=batch_size * superbatch_k):

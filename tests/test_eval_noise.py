@@ -113,3 +113,39 @@ def test_eval_noise_spread_and_selection_stability(capsys):
           f"{res_live['best_epoch']} test {res_live['test_at_best_val']:.4f}")
     assert abs(res_det["test_at_best_val"]
                - res_live["test_at_best_val"]) < 0.08, (res_det, res_live)
+
+
+def test_selection_stability_across_streams(capsys):
+    """VERDICT r4 weak 7: the round-4 bound rested on ONE training
+    stream.  Repeat the det-vs-live selection agreement over three
+    independent training streams (seeds) and record the spread — the
+    PARITY.md bound quotes these numbers."""
+    (model, tx, step, spec, caps, variables,
+     (train_ds, val_ds, test_ds)) = _trained_state()
+
+    det_eval = make_eval_fn(model, live_noise=False)
+    live_eval = make_eval_fn(model, live_noise=True)
+
+    rows = []
+    for seed in (21, 22, 23):
+        res_det = run_finetune(step, det_eval,
+                               TrainState.create(variables, tx), train_ds,
+                               val_ds, test_ds, caps, BATCH, spec,
+                               epochs=8, seed=seed, log=None)
+        res_live = run_finetune(step, live_eval,
+                                TrainState.create(variables, tx), train_ds,
+                                val_ds, test_ds, caps, BATCH, spec,
+                                epochs=8, seed=seed, log=None)
+        rows.append((seed, res_det["test_at_best_val"],
+                     res_live["test_at_best_val"],
+                     res_det["best_epoch"], res_live["best_epoch"]))
+
+    gaps = [abs(d - l) for _, d, l, _, _ in rows]
+    print("\nEVAL-NOISE multi-stream det-vs-live test@best-val:")
+    for seed, d, l, ed, el in rows:
+        print(f"  seed {seed}: det {d:.4f} (ep {ed}) "
+              f"live {l:.4f} (ep {el}) gap {abs(d-l):.4f}")
+    print(f"  max gap {max(gaps):.4f} mean gap {np.mean(gaps):.4f}")
+
+    # every stream individually within the single-stream tolerance
+    assert max(gaps) < 0.08, rows

@@ -45,15 +45,18 @@ def test_adam_l2_matches_torch_adam():
         tw.grad = torch.tensor(gv)
         opt.step()
 
-    tx = adam_l2(lr, weight_decay=wd)
-    params = {"w": jnp.asarray(w0)}
-    state = tx.init(params)
-    for gv in grads:
-        updates, state = tx.update({"w": jnp.asarray(gv)}, state, params)
-        params = optax.apply_updates(params, updates)
+    for flatten in (True, False):   # flattened update must be identical
+        tx = adam_l2(lr, weight_decay=wd, flatten=flatten)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for gv in grads:
+            updates, state = tx.update({"w": jnp.asarray(gv)}, state,
+                                       params)
+            params = optax.apply_updates(params, updates)
 
-    np.testing.assert_allclose(np.asarray(params["w"]),
-                               tw.detach().numpy(), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(params["w"]),
+                                   tw.detach().numpy(), rtol=1e-6,
+                                   atol=1e-7)
 
 
 @pytest.fixture(scope="module")
