@@ -14,8 +14,12 @@ from scgib_tpu.train.trainer import TrainState, adam_l2, make_pretrain_scan_step
 INNER = 32
 graphs = random_dataset(128, seed=0, min_nodes=10, max_nodes=30, feat_dim=9)
 egos = [extract_egonets(g, 1) for g in graphs]
-g = pack_graphs(graphs, 4096, 16384, 128, banded="device")
-sub = pack_subgraphs(graphs, egos, 16384, 65536, banded="device")
+from scgib_tpu.data.loader import GraphDataset, plan_capacities
+caps = plan_capacities(GraphDataset(list(graphs), k=1, egonets=egos), 128)
+print("caps:", caps, file=sys.stderr)
+g = pack_graphs(graphs, caps.nodes, caps.edges, 128, banded="device")
+sub = pack_subgraphs(graphs, egos, caps.sub_nodes, caps.sub_edges,
+                     banded="device")
 g = jax.device_put(g); sub = jax.device_put(sub)
 model = PretrainModel(in_dim=9, hidden=64, d_transfer=32,
                       recons_impl="gram", subgraph_mode="coo", encoder=os.environ.get("ENC","GIN"))

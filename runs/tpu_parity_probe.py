@@ -1,7 +1,7 @@
 """On-chip numerical parity probes for the round-4 kernels.
 
 Runs each Pallas/precision fast path against its exact XLA reference ON
-THE REAL TPU and records max relative errors -> TPU_PARITY_r04.json.
+THE REAL TPU and records max relative errors -> TPU_PARITY_r05.json.
 Correctness-only (no timing), so it can share the chip with training.
 """
 import json
@@ -154,5 +154,5 @@ want = jax.jit(lambda x: banded_spmm(blocks_f32, col_off, x))(h)
 out["probes"]["sage_spmm_pallas_vs_xla"] = rel(got, want)
 
 print(json.dumps(out, indent=1))
-with open("/root/repo/TPU_PARITY_r04.json", "w") as f:
+with open("/root/repo/TPU_PARITY_r05.json", "w") as f:
     json.dump(out, f, indent=1)

@@ -116,3 +116,33 @@ def test_dataset_logms_uses_batched_path():
     ref = [transition_logm(g, 2) for g in dsl.graphs]
     for got, want in zip(lms, ref):
         np.testing.assert_allclose(got[1], want[1], rtol=1e-5, atol=1e-5)
+
+
+def test_background_iter_propagates_and_orders():
+    from scgib_tpu.data.loader import background_iter
+
+    assert list(background_iter(iter(range(50)), size=4)) == list(range(50))
+
+    def boom():
+        yield 1
+        raise ValueError("producer died")
+
+    import pytest
+    it = background_iter(boom(), size=2)
+    assert next(it) == 1
+    with pytest.raises(ValueError, match="producer died"):
+        list(it)
+
+
+def test_prefetch_host_stage_matches_plain():
+    import jax
+    from scgib_tpu.data.loader import prefetch_to_device
+
+    items = [np.arange(10) * i for i in range(8)]
+    got_plain = [np.asarray(x) for x in
+                 prefetch_to_device(iter(items), size=2)]
+    got_staged = [np.asarray(x) for x in
+                  prefetch_to_device(iter(items), size=2, host_stage=2)]
+    for a, b, c in zip(items, got_plain, got_staged):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
