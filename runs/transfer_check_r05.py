@@ -52,6 +52,58 @@ BATCH = 64
 N = 720
 
 
+def _core_readout(mdl, g, sub):
+    """Graph-level features off the FROZEN core: sum-pooled interaction
+    map, eval mode — the classic SSL linear-probe featurizer.  Mirrors
+    FinetuneModel.__call__ up to (but excluding) the fresh heads."""
+    import jax.numpy as jnp
+
+    from scgib_tpu.models.losses import l2_normalize
+    from scgib_tpu.models.scgib import _sub_features
+    from scgib_tpu.ops.segment import segment_sum
+
+    x = l2_normalize(g.node_feat) if mdl.normalize_input else g.node_feat
+    x_sub_raw = _sub_features(g, sub)
+    x_sub = l2_normalize(x_sub_raw) if mdl.normalize_input else x_sub_raw
+    proj = mdl.transfer_d(jnp.concatenate([x, x_sub], axis=0))
+    x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
+    feats = mdl.core.extract_features(g, sub, x_proj, x_sub_proj, False)
+    im = feats.interaction_map
+    return segment_sum(im, g.node_graph, g.num_graphs, mask=g.node_mask)
+
+
+def linear_probe(variables, model, splits, caps):
+    """Logistic regression on frozen-core pooled features: a far
+    lower-variance measure of representation quality than a finetune run
+    (no optimization noise in the encoder).  Returns test ROC-AUC."""
+    from sklearn.linear_model import LogisticRegression
+
+    from scgib_tpu.utils.metrics import eval_rocauc
+
+    feat_fn = jax.jit(lambda g, sub: model.apply(
+        variables, g, sub, method=_core_readout))
+    X, y = [], []
+    bounds = [0]
+    for part in splits:
+        for g, sub in batch_iterator(part, BATCH, caps, shuffle=False):
+            f = np.asarray(feat_fn(g, sub))
+            gm = np.asarray(g.graph_mask).astype(bool)
+            X.append(f[gm])
+            lab = np.asarray(g.labels).reshape(-1)[gm]
+            y.append(lab)
+        bounds.append(sum(len(a) for a in X))
+    X = np.concatenate(X)
+    y = np.concatenate(y)
+    Xtr, ytr = X[:bounds[1]], y[:bounds[1]]
+    Xte, yte = X[bounds[2]:], y[bounds[2]:]
+    mu, sd = Xtr.mean(0), Xtr.std(0) + 1e-8
+    clf = LogisticRegression(max_iter=2000, C=1.0)
+    clf.fit((Xtr - mu) / sd, ytr.astype(np.int64))
+    s = clf.decision_function((Xte - mu) / sd)
+    return float(eval_rocauc(yte.reshape(-1, 1),
+                             s.reshape(-1, 1))["rocauc"])
+
+
 def one_run(variables, model, splits, caps, seed):
     spec = DATASETS["BACE"]
     train_ds, val_ds, test_ds = splits
@@ -85,22 +137,31 @@ def main():
     g0, sub0 = next(batch_iterator(splits[0], BATCH, caps, shuffle=False))
 
     results = {"pretrained": [], "scratch": [], "reference_anchor": []}
+    lp = {"pretrained": [], "scratch": [], "reference_anchor": []}
     for seed in SEEDS:
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.PRNGKey(seed),
              "noise": jax.random.PRNGKey(seed + 1)}, g0, sub0, train=True)
+        grafted = ckpt.load_core_into(variables, pre_vars)
+        # low-variance arm first: frozen-core linear probe (no finetune
+        # optimization noise in the encoder at all)
+        lp["scratch"].append(linear_probe(variables, model, splits, caps))
+        lp["pretrained"].append(linear_probe(grafted, model, splits, caps))
         results["scratch"].append(
             one_run(variables, model, splits, caps, 100 + seed))
-        grafted = ckpt.load_core_into(variables, pre_vars)
         results["pretrained"].append(
             one_run(grafted, model, splits, caps, 100 + seed))
         if ref_vars_flat is not None:
             ref_grafted = ckpt.load_core_into(variables, ref_vars_flat)
+            lp["reference_anchor"].append(
+                linear_probe(ref_grafted, model, splits, caps))
             results["reference_anchor"].append(
                 one_run(ref_grafted, model, splits, caps, 100 + seed))
         print(f"seed {seed}: scratch {results['scratch'][-1]} "
               f"pretrained {results['pretrained'][-1]} "
-              f"ref {results['reference_anchor'][-1] if ref_vars_flat else None}",
+              f"ref {results['reference_anchor'][-1] if ref_vars_flat else None} "
+              f"| linear-probe scratch {lp['scratch'][-1]:.4f} "
+              f"pretrained {lp['pretrained'][-1]:.4f}",
               flush=True)
 
     def agg(rows):

@@ -236,9 +236,24 @@ class GraphTransformerLayer(nn.Module):
         n = h.shape[0]
         hd = self.hidden // self.num_heads
 
-        q = nn.Dense(self.hidden, name="Q")(h).reshape(n, self.num_heads, hd)
-        k = nn.Dense(self.hidden, name="K")(h).reshape(n, self.num_heads, hd)
-        v = nn.Dense(self.hidden, name="V")(h).reshape(n, self.num_heads, hd)
+        # Q/K/V as ONE [d, 3d] matmul: the step is op-count-bound (PERF.md),
+        # so 3 projection dispatches/layer (x10 layers x fwd+bwd) collapse
+        # to 1 at bit-identical per-element reductions.  Parameter
+        # structure stays Q/K/V (checkpoint + reference-import compat);
+        # the concat's backward is a slice, so dW_q/dW_k/dW_v are exact.
+        q_d = nn.Dense(self.hidden, name="Q")
+        k_d = nn.Dense(self.hidden, name="K")
+        v_d = nn.Dense(self.hidden, name="V")
+        _ = (q_d(h[:1]), k_d(h[:1]), v_d(h[:1]))   # register; DCE'd
+        pq, pk, pv = (m.variables["params"] for m in (q_d, k_d, v_d))
+        qkv_w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
+                                axis=1)
+        qkv_b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+        qkv = h @ qkv_w + qkv_b
+        q = qkv[:, :self.hidden].reshape(n, self.num_heads, hd)
+        k = qkv[:, self.hidden:2 * self.hidden].reshape(
+            n, self.num_heads, hd)
+        v = qkv[:, 2 * self.hidden:].reshape(n, self.num_heads, hd)
 
         if band is not None:
             import jax as _jax

@@ -30,6 +30,16 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
     axis_name: Optional[str] = None
+    # one-pass moments (default): sum and sum-of-squares in a SINGLE
+    # sweep over x (one multi-output XLA reduction fusion), then
+    # var = E[x^2] - mean^2.  The round-4/5 traces showed the step is
+    # op-count/latency-bound, and the two-pass form costs an extra
+    # [N, F] reduction dispatch per BN layer (8 layers/step) plus a
+    # second psum round under sync-BN.  Cancellation bound: activations
+    # here are O(1-30) post-conv, so E[x^2]-mean^2 loses <= ~3 f32
+    # digits -> var error ~1e-4 relative, inside every oracle
+    # tolerance; set two_pass=True to restore the centered form.
+    two_pass: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -45,7 +55,7 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
-        if train:
+        if train and self.two_pass:
             # two-pass (mean, then centered variance) for float32 stability;
             # sync-BN pays one extra [F]-sized psum for it.
             if mask is None:
@@ -68,18 +78,48 @@ class MaskedBatchNorm(nn.Module):
             if self.axis_name is not None:
                 var_total = jax.lax.psum(var_total, self.axis_name)
             var = var_total / count
-            if not self.is_initializing():
-                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
-                ra_mean.value = ((1 - self.momentum) * ra_mean.value
-                                 + self.momentum * mean)
-                ra_var.value = ((1 - self.momentum) * ra_var.value
-                                + self.momentum * unbiased)
+        elif train:
+            # one-pass: both reductions read x once; under sync-BN the
+            # (count, sum, sumsq) triple rides ONE concatenated psum.
+            if mask is None:
+                xm = x
+                count = jnp.asarray(float(x.shape[0]), jnp.float32)
+                packed = jnp.concatenate(
+                    [jnp.sum(xm, axis=0), jnp.sum(xm * x, axis=0)])
+            else:
+                m = mask.astype(x.dtype)[:, None]
+                xm = x * m
+                packed = jnp.concatenate(
+                    [jnp.sum(xm, axis=0), jnp.sum(xm * x, axis=0),
+                     jnp.sum(m, axis=0)])
+                count = None
+            if self.axis_name is not None:
+                packed = jax.lax.psum(packed, self.axis_name)
+                if count is not None:
+                    count = jax.lax.psum(count, self.axis_name)
+            total = packed[:features]
+            total_sq = packed[features:2 * features]
+            if count is None:
+                count = packed[-1]
+            count = jnp.maximum(count, 1.0)
+            mean = total / count
+            var = jnp.maximum(total_sq / count - mean * mean, 0.0)
         else:
             mean = ra_mean.value
             var = ra_var.value
 
-        y = (x - mean) / jnp.sqrt(var + self.eps)
-        return y * scale + bias
+        if train and not self.is_initializing():
+            unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+            ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                             + self.momentum * mean)
+            ra_var.value = ((1 - self.momentum) * ra_var.value
+                            + self.momentum * unbiased)
+
+        # folded affine: y = x*a + b with a = scale/sqrt(var+eps),
+        # b = bias - mean*a — one FMA per element instead of
+        # sub/div/mul/add (same values to ~1 ulp)
+        a = scale * jax.lax.rsqrt(var + self.eps)
+        return x * a + (bias - mean * a)
 
 
 class SegmentBatchNorm(nn.Module):

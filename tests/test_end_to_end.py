@@ -99,6 +99,11 @@ def test_pretrain_superbatch_loop(tmp_path):
                            g0, sub0, train=True)
     specs = superbatch_spec(ds, 16, caps, 2)
     step = make_pretrain_superbatch_step(model, tx, byte_spec=specs)
+    # the superbatch step donates its state, which deletes the ORIGINAL
+    # `variables` buffers after the first dispatch — keep a host copy for
+    # the resume state below (flattened adam_l2's init reads param
+    # values, so create() on donated buffers raises)
+    vars_host = jax.tree_util.tree_map(np.asarray, variables)
     state = TrainState.create(variables, tx)
     autosave = str(tmp_path / "auto.msgpack")
     state, info = run_pretraining(step, state, ds, caps, 16, epochs=3,
@@ -110,7 +115,8 @@ def test_pretrain_superbatch_loop(tmp_path):
     assert info["history"][-1] < info["history"][0]
 
     # resume: a fresh state picks up at epoch 3 and runs 2 more
-    state2 = TrainState.create(variables, tx)
+    state2 = TrainState.create(
+        jax.tree_util.tree_map(jax.numpy.asarray, vars_host), tx)
     state2, info2 = run_pretraining(step, state2, ds, caps, 16, epochs=5,
                                     seed=1, superbatch_k=2,
                                     superbatch_spec=specs,
