@@ -65,7 +65,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from scgib_tpu.data.loader import (GraphDataset, batch_iterator,
                                    plan_capacities, prefetch_to_device,
                                    wire_compact_ok)
-from scgib_tpu.graph.wire import (byte_spec_of, pack_bytes, to_wire_graph,
+from scgib_tpu.graph.wire import (byte_spec_of, pack_bytes,
+                                  pack_bytes_grouped, to_wire_graph,
                                   to_wire_sub)
 from scgib_tpu.data.synthetic import random_dataset
 from scgib_tpu.graph.batching import (max_egonet_size, pack_graphs,
@@ -236,33 +237,36 @@ def measure_sustained(model, variables, ds, caps):
     rng = jax.random.PRNGKey(3)
     compact = wire_compact_ok(ds)
 
-    def batches_forever(seed0):
-        """Chain shuffled epochs so any batch budget is satisfiable."""
+    def _wire(b):
+        return (to_wire_graph(b[0], compact=compact),
+                to_wire_sub(b[1], compact=compact))
+
+    def wired_forever(seed0):
+        """Chain shuffled epochs so any batch budget is satisfiable; wire
+        conversion runs inside the packer worker threads (transform=)."""
         s = seed0
         while True:
             yield from batch_iterator(ds, BATCH_GRAPHS, caps, shuffle=True,
-                                      seed=s, workers=4)
+                                      seed=s, workers=4, transform=_wire)
             s += 1
 
-    def stacked_wire(seed0):
-        """Host-stacked combined wire superbatches: ((gs, subs), edges)."""
+    def wire_groups(seed0):
+        """Groups of SUPER_K per-batch wire pairs + their real edge count."""
         group = []
-        for g, sub in batches_forever(seed0):
-            group.append((to_wire_graph(g, compact=compact),
-                          to_wire_sub(sub, compact=compact)))
+        for w in wired_forever(seed0):
+            group.append(w)
             if len(group) == SUPER_K:
-                edges = int(sum(int(w.n_edges) + int(v.n_edges)
-                                for w, v in group))
-                tree = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs), *group)
-                yield tree, edges
+                edges = int(sum(int(wg.n_edges) + int(wv.n_edges)
+                                for wg, wv in group))
+                yield group, edges
                 group = []
 
     # single-buffer transport: ONE uint8 device_put per superbatch
     # (wire.pack_bytes over the combined (gs, subs) tree) — per-transfer
     # round-trip latency, not bandwidth, dominates a tunneled link
-    sample = next(stacked_wire(1234))
-    spec = byte_spec_of(sample[0])
+    sample_group, _ = next(wire_groups(1234))
+    spec = byte_spec_of(jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *sample_group))
     wire_bytes_per_batch = spec.total / SUPER_K
     _vlog(f"wire: {spec.total/1e6:.2f} MB/superbatch "
           f"({wire_bytes_per_batch/1e3:.0f} KB/batch, compact={compact})")
@@ -273,8 +277,10 @@ def measure_sustained(model, variables, ds, caps):
                                          donate=False)
 
     def superbatches(seed0):
-        for tree, edges in stacked_wire(seed0):
-            yield pack_bytes(tree, spec), edges
+        # direct per-batch writes into the combined buffer — no
+        # intermediate stack copy (pack_bytes_grouped)
+        for group, edges in wire_groups(seed0):
+            yield pack_bytes_grouped(group, spec), edges
 
     def run_batches(n_batches, state, seed):
         """Returns (elapsed_s, real_edges_processed, state)."""

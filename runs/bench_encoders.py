@@ -1,4 +1,8 @@
-"""Full pretrain step timing per encoder family (v5e-1)."""
+"""Full pretrain step timing per encoder family (v5e-1).
+
+Set BENCH_ENC_JSON=<path> to also write the results as a
+BENCH_ENCODERS_r0N.json-style artifact."""
+import json as _json
 import os, sys, time, statistics
 import numpy as np
 import jax, jax.numpy as jnp
@@ -12,6 +16,7 @@ from scgib_tpu.train.trainer import TrainState, adam_l2, make_pretrain_scan_step
 
 INNER = int(os.environ.get("INNER", "64"))
 ENCODERS = sys.argv[1:] or ["Transformer"]
+_results = {}
 graphs = random_dataset(128, seed=0, min_nodes=10, max_nodes=30, feat_dim=9)
 egos = [extract_egonets(g, 1) for g in graphs]
 g = pack_graphs(graphs, 4096, 16384, 128, banded="device")
@@ -55,3 +60,20 @@ for enc in ENCODERS:
     us = (wall - rtt) / INNER * 1e6
     print(f"{enc}: {us:.0f} us/step ({edges/us*1e6/1e6:.2f}e6 edges/s, "
           f"compile {ct:.0f}s, loss {l0:.3f})", flush=True)
+    _results[enc] = {"us_per_step": round(us),
+                     "edges_per_s": round(edges / us * 1e6),
+                     "vs_baseline": round(edges / us * 1e6 / 2e6, 2)}
+
+if os.environ.get("BENCH_ENC_JSON"):
+    out = {
+        "device": "TPU v5e-1 (axon tunnel)",
+        "shape": ("batch 128 PCQM4Mv2-like molecules, k=1 ego-nets, "
+                  "4096/16384/16384/65536 caps, full pretrain step "
+                  f"(fwd+bwd+Adam), INNER={INNER} scan, RTT floor "
+                  "subtracted"),
+        "baseline_edges_per_s": 2000000.0,
+        "encoders": _results,
+    }
+    with open(os.environ["BENCH_ENC_JSON"], "w") as f:
+        _json.dump(out, f, indent=2)
+    print("wrote", os.environ["BENCH_ENC_JSON"], flush=True)

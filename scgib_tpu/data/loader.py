@@ -222,7 +222,8 @@ def pack_batch(ds: GraphDataset, sel: Sequence[int], caps: Capacities,
 def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
                    shuffle: bool = True, seed: int = 0,
                    drop_last: bool = False, workers: int = 0,
-                   use_flat: bool = True, logm_k: Optional[int] = None
+                   use_flat: bool = True, logm_k: Optional[int] = None,
+                   transform=None
                    ) -> Iterator[Tuple[GraphBatch, SubgraphBatch]]:
     """Yield packed (GraphBatch, SubgraphBatch) batches.
 
@@ -231,15 +232,22 @@ def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
     the per-graph Python packers, bit-identical output.  ``workers > 0``
     additionally packs up to that many batches concurrently on a thread
     pool, yielding in order.  ``logm_k`` attaches transition-matrix
-    targets to each GraphBatch (recons_type='logM')."""
+    targets to each GraphBatch (recons_type='logM').  ``transform``
+    (callable on the (g, sub) pair) runs INSIDE the worker tasks — used
+    by ``wire_superbatches`` to wire-serialize off the consumer thread."""
     plans = plan_batches(ds, batch_size, caps, shuffle, seed, drop_last)
     if use_flat:
         ds.flat()   # build once, outside the worker threads
     if logm_k:
         ds.logms(logm_k)   # warm the cache once, outside workers
+
+    def work(sel):
+        b = pack_batch(ds, sel, caps, use_flat, logm_k)
+        return transform(b) if transform is not None else b
+
     if workers <= 0:
         for sel in plans:
-            yield pack_batch(ds, sel, caps, use_flat, logm_k)
+            yield work(sel)
         return
 
     from collections import deque
@@ -249,14 +257,12 @@ def batch_iterator(ds: GraphDataset, batch_size: int, caps: Capacities,
         pending: deque = deque()
         it = iter(plans)
         for sel in it:
-            pending.append(pool.submit(pack_batch, ds, sel, caps,
-                                       use_flat, logm_k))
+            pending.append(pool.submit(work, sel))
             if len(pending) >= 2 * workers:
                 break
         for sel in it:
             yield pending.popleft().result()
-            pending.append(pool.submit(pack_batch, ds, sel, caps,
-                                       use_flat, logm_k))
+            pending.append(pool.submit(work, sel))
         while pending:
             yield pending.popleft().result()
 
@@ -408,29 +414,37 @@ def wire_superbatches(ds: GraphDataset, batch_size: int, caps: Capacities,
     smaller than ``super_k`` is dropped (epochs chain in callers, so no
     data is permanently lost).
     """
-    from ..graph.wire import (byte_spec_of, pack_bytes, to_wire_graph,
-                              to_wire_sub)
+    from ..graph.wire import (byte_spec_of, pack_bytes_grouped,
+                              to_wire_graph, to_wire_sub)
 
     if compact is None:
         compact = wire_compact_ok(ds)
-    group = []
-    for g, sub in batch_iterator(ds, batch_size, caps, shuffle=shuffle,
-                                 seed=seed, workers=workers,
-                                 logm_k=logm_k):
+
+    def to_wire(b):
+        g, sub = b
         if g.logm_targets is not None:
             raise ValueError("wire superbatches do not carry logM "
                              "targets (O(k N^2) — ship per-batch instead:"
                              " superbatch_k=0 with recons_type='logM')")
-        group.append((to_wire_graph(g, compact=compact),
-                      to_wire_sub(sub, compact=compact)))
+        return (to_wire_graph(g, compact=compact),
+                to_wire_sub(sub, compact=compact))
+
+    group = []
+    # wire conversion runs inside the packer workers (transform=);
+    # pack_bytes_grouped writes per-batch leaves straight into the
+    # combined buffer — together they cut the serial host tail of the
+    # superbatch pipeline ~3x (round-5 pack profile)
+    for wpair in batch_iterator(ds, batch_size, caps, shuffle=shuffle,
+                                seed=seed, workers=workers,
+                                logm_k=logm_k, transform=to_wire):
+        group.append(wpair)
         if len(group) < super_k:
             continue
         edges = int(sum(int(w.n_edges) + int(v.n_edges)
                         for w, v in group))
-        tree = _stack_group(group)
         if byte_spec is None:
-            byte_spec = byte_spec_of(tree)
-        yield pack_bytes(tree, byte_spec), edges
+            byte_spec = byte_spec_of(_stack_group(group))
+        yield pack_bytes_grouped(group, byte_spec), edges
         group = []
 
 
