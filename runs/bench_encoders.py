@@ -19,8 +19,19 @@ ENCODERS = sys.argv[1:] or ["Transformer"]
 _results = {}
 graphs = random_dataset(128, seed=0, min_nodes=10, max_nodes=30, feat_dim=9)
 egos = [extract_egonets(g, 1) for g in graphs]
-g = pack_graphs(graphs, 4096, 16384, 128, banded="device")
-sub = pack_subgraphs(graphs, egos, 16384, 65536, banded="device")
+# BENCH_ENC_CAPS=fixed reproduces rounds 1-4's hardcoded worst-case caps
+# (4096/16384/16384/65536); default 'planned' uses the production
+# sqrt-sigma capacity planner (data/loader.py) — what the real training
+# loop packs to since round 5.
+if os.environ.get("BENCH_ENC_CAPS", "planned") == "fixed":
+    CAPS = (4096, 16384, 16384, 65536)
+else:
+    from scgib_tpu.data.loader import GraphDataset, plan_capacities
+    _c = plan_capacities(GraphDataset(list(graphs), k=1, egonets=egos), 128)
+    CAPS = (_c.nodes, _c.edges, _c.sub_nodes, _c.sub_edges)
+print(f"caps: {CAPS}", flush=True)
+g = pack_graphs(graphs, CAPS[0], CAPS[1], 128, banded="device")
+sub = pack_subgraphs(graphs, egos, CAPS[2], CAPS[3], banded="device")
 edges = int(np.asarray(g.edge_mask).sum() + np.asarray(sub.edge_mask).sum())
 g = jax.device_put(g); sub = jax.device_put(sub)
 
@@ -68,9 +79,11 @@ if os.environ.get("BENCH_ENC_JSON"):
     out = {
         "device": "TPU v5e-1 (axon tunnel)",
         "shape": ("batch 128 PCQM4Mv2-like molecules, k=1 ego-nets, "
-                  "4096/16384/16384/65536 caps, full pretrain step "
-                  f"(fwd+bwd+Adam), INNER={INNER} scan, RTT floor "
-                  "subtracted"),
+                  f"caps {'/'.join(map(str, CAPS))} "
+                  f"({os.environ.get('BENCH_ENC_CAPS', 'planned')} — "
+                  "production sqrt-sigma planner unless 'fixed'), full "
+                  f"pretrain step (fwd+bwd+Adam), INNER={INNER} scan, "
+                  "RTT floor subtracted"),
         "baseline_edges_per_s": 2000000.0,
         "encoders": _results,
     }

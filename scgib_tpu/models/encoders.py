@@ -241,19 +241,26 @@ class GraphTransformerLayer(nn.Module):
         # to 1 at bit-identical per-element reductions.  Parameter
         # structure stays Q/K/V (checkpoint + reference-import compat);
         # the concat's backward is a slice, so dW_q/dW_k/dW_v are exact.
+        # SCGIB_GT_FUSED_QKV=0 restores separate projections (the fused
+        # backward materializes a [N, 3d] gradient concat — A/B-able).
         q_d = nn.Dense(self.hidden, name="Q")
         k_d = nn.Dense(self.hidden, name="K")
         v_d = nn.Dense(self.hidden, name="V")
-        _ = (q_d(h[:1]), k_d(h[:1]), v_d(h[:1]))   # register; DCE'd
-        pq, pk, pv = (m.variables["params"] for m in (q_d, k_d, v_d))
-        qkv_w = jnp.concatenate([pq["kernel"], pk["kernel"], pv["kernel"]],
-                                axis=1)
-        qkv_b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
-        qkv = h @ qkv_w + qkv_b
-        q = qkv[:, :self.hidden].reshape(n, self.num_heads, hd)
-        k = qkv[:, self.hidden:2 * self.hidden].reshape(
-            n, self.num_heads, hd)
-        v = qkv[:, 2 * self.hidden:].reshape(n, self.num_heads, hd)
+        if _env_flag("SCGIB_GT_FUSED_QKV"):
+            _ = (q_d(h[:1]), k_d(h[:1]), v_d(h[:1]))   # register; DCE'd
+            pq, pk, pv = (m.variables["params"] for m in (q_d, k_d, v_d))
+            qkv_w = jnp.concatenate(
+                [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
+            qkv_b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
+            qkv = h @ qkv_w + qkv_b
+            q = qkv[:, :self.hidden].reshape(n, self.num_heads, hd)
+            k = qkv[:, self.hidden:2 * self.hidden].reshape(
+                n, self.num_heads, hd)
+            v = qkv[:, 2 * self.hidden:].reshape(n, self.num_heads, hd)
+        else:
+            q = q_d(h).reshape(n, self.num_heads, hd)
+            k = k_d(h).reshape(n, self.num_heads, hd)
+            v = v_d(h).reshape(n, self.num_heads, hd)
 
         if band is not None:
             import jax as _jax

@@ -79,27 +79,30 @@ class MaskedBatchNorm(nn.Module):
                 var_total = jax.lax.psum(var_total, self.axis_name)
             var = var_total / count
         elif train:
-            # one-pass: both reductions read x once; under sync-BN the
-            # (count, sum, sumsq) triple rides ONE concatenated psum.
+            # one-pass: both reductions read x once (one multi-output
+            # fusion); under sync-BN the (sum, sumsq, count) triple rides
+            # ONE concatenated psum.  The concat+slice packing ONLY pays
+            # for itself when there is a collective to amortize — on a
+            # single device it showed up as ~22 us/step of pure
+            # concatenate ops in the round-5 trace, so it is gated on
+            # axis_name.
             if mask is None:
                 xm = x
                 count = jnp.asarray(float(x.shape[0]), jnp.float32)
-                packed = jnp.concatenate(
-                    [jnp.sum(xm, axis=0), jnp.sum(xm * x, axis=0)])
+                total = jnp.sum(xm, axis=0)
+                total_sq = jnp.sum(xm * x, axis=0)
             else:
                 m = mask.astype(x.dtype)[:, None]
                 xm = x * m
-                packed = jnp.concatenate(
-                    [jnp.sum(xm, axis=0), jnp.sum(xm * x, axis=0),
-                     jnp.sum(m, axis=0)])
-                count = None
+                count = jnp.sum(m)
+                total = jnp.sum(xm, axis=0)
+                total_sq = jnp.sum(xm * x, axis=0)
             if self.axis_name is not None:
-                packed = jax.lax.psum(packed, self.axis_name)
-                if count is not None:
-                    count = jax.lax.psum(count, self.axis_name)
-            total = packed[:features]
-            total_sq = packed[features:2 * features]
-            if count is None:
+                packed = jax.lax.psum(
+                    jnp.concatenate([total, total_sq, count[None]]),
+                    self.axis_name)
+                total = packed[:features]
+                total_sq = packed[features:2 * features]
                 count = packed[-1]
             count = jnp.maximum(count, 1.0)
             mean = total / count

@@ -41,10 +41,27 @@ def _model_rngs(rng):
     """RNG streams for model.apply: 'noise' (compression gate + feature
     noise) always; 'dropout' derived for encoders that use flax Dropout
     (the graph transformer, reference models.py:860) — flax ignores
-    streams a module does not request."""
+    streams a module does not request.
+
+    SCGIB_DROPOUT_RBG=1 (opt-in, read once — utils/knobs.py): hand the
+    dropout stream an ``rbg`` key, lowering mask generation to XLA's
+    RngBitGenerator instead of ~10 threefry rounds per block.  Dropout
+    only gates the graph transformer's FFN (reference dropout=0.5), so
+    this changes WHICH units drop, never the distribution.  Default ON
+    since round 5 — measured 4015 -> 3352 us/step on the Transformer
+    pretrain step (v5e-1, threefry masks were ~660 us across the 10
+    layer instances); SCGIB_DROPOUT_RBG=0 restores threefry masks
+    (bit-reproducible with rounds 1-4).  Runs are equally deterministic
+    either way (same key -> same rbg bits)."""
     import jax as _jax
 
-    return {"noise": rng, "dropout": _jax.random.fold_in(rng, 0x5eed)}
+    from ..utils.knobs import env_flag
+
+    dropout = _jax.random.fold_in(rng, 0x5eed)
+    if env_flag("SCGIB_DROPOUT_RBG", "1"):
+        data = _jax.random.bits(dropout, (4,), "uint32")
+        dropout = _jax.random.wrap_key_data(data, impl="rbg")
+    return {"noise": rng, "dropout": dropout}
 
 def init_model(model, rngs, *args, **kwargs):
     """``model.init`` under jit.

@@ -274,3 +274,25 @@ def test_gt_band_fits_boundary():
     assert not gt_band_fits(34, 4096)
     assert not gt_band_fits(10, 100)        # cap not a tile multiple
     assert not gt_band_fits(10, 64)         # cap below one band
+
+
+def test_pack_bytes_grouped_matches_stacked():
+    """pack_bytes_grouped (direct per-batch writes into the combined
+    buffer — the sustained loop's fast path) is byte-identical to
+    stacking the group and running pack_bytes."""
+    from scgib_tpu.data.loader import (GraphDataset, _stack_group,
+                                       batch_iterator, plan_capacities)
+    from scgib_tpu.data.synthetic import random_dataset
+    from scgib_tpu.graph.wire import (byte_spec_of, pack_bytes,
+                                      pack_bytes_grouped, to_wire_graph,
+                                      to_wire_sub)
+
+    ds = GraphDataset(random_dataset(64, seed=11, min_nodes=6,
+                                     max_nodes=20, feat_dim=9), k=1)
+    caps = plan_capacities(ds, 16)
+    wires = [(to_wire_graph(g, compact=True), to_wire_sub(s, compact=True))
+             for g, s in batch_iterator(ds, 16, caps, shuffle=False)][:4]
+    tree = _stack_group(wires)
+    spec = byte_spec_of(tree)
+    assert np.array_equal(pack_bytes(tree, spec),
+                          pack_bytes_grouped(wires, spec))
