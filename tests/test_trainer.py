@@ -177,3 +177,27 @@ def test_pretrain_step_remat(pretrain_setup):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_model_rngs_rbg_dropout_default():
+    """The dropout stream defaults to an rbg key (round-5: threefry masks
+    cost ~660 us/step on the Transformer); the noise stream stays a raw
+    threefry key for resume bit-compatibility."""
+    import jax
+
+    from scgib_tpu.train.trainer import _model_rngs
+
+    r = _model_rngs(jax.random.PRNGKey(0))
+    assert r["noise"].dtype == jax.numpy.uint32        # raw threefry key
+    assert jax.dtypes.issubdtype(r["dropout"].dtype, jax.dtypes.prng_key)
+    assert "rbg" in str(r["dropout"].dtype)
+    # deterministic: same input key -> same rbg key data
+    r2 = _model_rngs(jax.random.PRNGKey(0))
+    assert (jax.random.key_data(r["dropout"])
+            == jax.random.key_data(r2["dropout"])).all()
+    # and usable by flax Dropout
+    from flax import linen as nn
+
+    y = nn.Dropout(0.5, deterministic=False).apply(
+        {}, jax.numpy.ones((8, 8)), rngs={"dropout": r["dropout"]})
+    assert bool(jax.numpy.isfinite(y).all())
