@@ -76,11 +76,19 @@ class GIN(nn.Module):
             # auto: fused Pallas on TPU when the band layout is present
             # (full-train-step measured fastest: 386M edges/s vs 320M
             # banded-XLA vs ~370M gather on v5e-1); SCGIB_USE_PALLAS=0
-            # forces the XLA banded path
+            # forces the XLA banded path.  Size gate (round 5, like the
+            # pool kernel's 32 MB gate): at LRGB k=3 shapes (618-tile
+            # grids, 20 MB node buffers) the full scanned step
+            # reproducibly crashed the remote compile helper (HTTP 500,
+            # same class as the round-3 SAGE-only crash) although the
+            # kernel fwd+bwd compile clean standalone — beyond 8 MB the
+            # XLA banded path runs instead (13.2 ms/step at that shape,
+            # loss finite; bench_peptides.py record).
             import os as _os
 
             fuse = (band is not None
                     and _jax.default_backend() == "tpu"
+                    and h.size * 4 <= (8 << 20)
                     and _env_flag("SCGIB_USE_PALLAS"))
         for i in range(self.num_convs):
             mlp = MLP2(self.hidden, self.hidden, name=f"conv{i}")
