@@ -73,6 +73,28 @@ def _sub_features(g, sub):
     return jnp.take(g.node_feat, sub.node_orig, axis=0)
 
 
+def _project_inputs(transfer_d, g, sub, normalize: bool):
+    """(x_proj, x_sub_proj) for the twin encoders: one concatenated
+    [N+S, F] projection instead of two — the [N, F] and [S, F] matmuls
+    are overhead-bound at F=9 (~70 us/step combined fwd+bwd, round 4).
+    (subgraph_mode='dense' ships 3-D sub features — projected
+    separately.)
+
+    Round-5 note: projection and row-wise l2-normalize commute with the
+    sub-node gather, so ``x_sub_proj == x_proj[node_orig]`` exactly on
+    the wire path — but the project-then-gather form MEASURED SLOWER
+    (854 vs 751-794 us/step): the [S, d=32] gather fwd + scatter-add bwd
+    outweigh the saved concat, because the old path's gather/scatter run
+    at the raw F=9 width.  Keep the concat."""
+    x = l2_normalize(g.node_feat) if normalize else g.node_feat
+    x_sub_raw = _sub_features(g, sub)
+    x_sub = l2_normalize(x_sub_raw) if normalize else x_sub_raw
+    if x_sub.ndim == x.ndim:
+        proj = transfer_d(jnp.concatenate([x, x_sub], axis=0))
+        return proj[:x.shape[0]], proj[x.shape[0]:]
+    return transfer_d(x), transfer_d(x_sub)
+
+
 class CoreFeatures(NamedTuple):
     """Outputs of ``SCGIBCore.extract_features`` (models.py:750 return)."""
 
@@ -355,22 +377,8 @@ class PretrainModel(nn.Module):
                  logm_targets: Optional[jnp.ndarray] = None,
                  logm_weights: Optional[jnp.ndarray] = None,
                  train: bool = True) -> PretrainLosses:
-        x = l2_normalize(g.node_feat) if self.normalize_input else \
-            g.node_feat
-        x_sub_raw = _sub_features(g, sub)
-        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
-            x_sub_raw
-        # one concatenated projection instead of two: the [N, F] and
-        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
-        # combined fwd+bwd) — fusing them halves the fixed costs.
-        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
-        # project separately there)
-        if x_sub.ndim == x.ndim:
-            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
-            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
-        else:
-            x_proj = self.transfer_d(x)
-            x_sub_proj = self.transfer_d(x_sub)
+        x_proj, x_sub_proj = _project_inputs(self.transfer_d, g, sub,
+                                             self.normalize_input)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
 
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
@@ -454,22 +462,8 @@ class FinetuneModel(nn.Module):
 
     def __call__(self, g: GraphBatch, sub: SubgraphBatch,
                  train: bool = True) -> jnp.ndarray:
-        x = l2_normalize(g.node_feat) if self.normalize_input else \
-            g.node_feat
-        x_sub_raw = _sub_features(g, sub)
-        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
-            x_sub_raw
-        # one concatenated projection instead of two: the [N, F] and
-        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
-        # combined fwd+bwd) — fusing them halves the fixed costs.
-        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
-        # project separately there)
-        if x_sub.ndim == x.ndim:
-            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
-            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
-        else:
-            x_proj = self.transfer_d(x)
-            x_sub_proj = self.transfer_d(x_sub)
+        x_proj, x_sub_proj = _project_inputs(self.transfer_d, g, sub,
+                                             self.normalize_input)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)                # 2d -> d
         pooled = self.s2s(im, g.node_graph, g.num_graphs,
@@ -519,20 +513,8 @@ class DomainAdaptModel(nn.Module):
                  train: bool = True) -> jnp.ndarray:
         x = l2_normalize(g.node_feat) if self.normalize_input else \
             g.node_feat
-        x_sub_raw = _sub_features(g, sub)
-        x_sub = l2_normalize(x_sub_raw) if self.normalize_input else \
-            x_sub_raw
-        # one concatenated projection instead of two: the [N, F] and
-        # [S, F] matmuls are overhead-bound at F=9 (measured ~70 us/step
-        # combined fwd+bwd) — fusing them halves the fixed costs.
-        # (subgraph_mode='dense' ships [C, S, F] sub features — 3-D, so
-        # project separately there)
-        if x_sub.ndim == x.ndim:
-            proj = self.transfer_d(jnp.concatenate([x, x_sub], axis=0))
-            x_proj, x_sub_proj = proj[:x.shape[0]], proj[x.shape[0]:]
-        else:
-            x_proj = self.transfer_d(x)
-            x_sub_proj = self.transfer_d(x_sub)
+        x_proj, x_sub_proj = _project_inputs(self.transfer_d, g, sub,
+                                             self.normalize_input)
         feats = self.core.extract_features(g, sub, x_proj, x_sub_proj, train)
         im = self.head_mlp(feats.interaction_map)
         pooled = self.s2s(im, g.node_graph, g.num_graphs, mask=g.node_mask)
