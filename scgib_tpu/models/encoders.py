@@ -21,13 +21,16 @@ TPU-native re-designs of the reference encoders (same math, no DGL):
                           dropout 0.5, residual + LayerNorm; ``num_layers+1``
                           layers total (the reference appends one extra).
 
-All encoders operate on a padded edge list and zero out padding rows after
-each layer so downstream segment reductions need no extra masking of h.
+All encoders operate on a padded edge list and zero out padding rows before
+downstream segment reductions consume h: GIN/GCN/SAGE re-zero after every
+conv (their BatchNorm mixes rows, so padding must stay clean), while the
+GraphTransformer masks ONCE after the last layer — its ops are row-local or
+adjacency-gated, so padding garbage cannot leak (see GraphTransformer).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -232,11 +235,20 @@ class GraphSAGE(nn.Module):
 
 
 class GraphTransformerLayer(nn.Module):
-    """One graph-transformer layer (models.py:832-871)."""
+    """One graph-transformer layer (models.py:832-871).
+
+    ``dtype``: activation/compute dtype for the dense tail (Q/K/V, O,
+    FFN, LayerNorm I/O — flax LayerNorm still computes its statistics in
+    f32 internally).  bf16 halves the traffic of the LN/residual
+    fusions, but measured on v5e-1 it LOSES net (see the knob note in
+    GraphTransformer — the f32 casts at the flash-kernel boundaries cost
+    more), so the default stays f32.  Params stay f32 either way
+    (param_dtype default)."""
 
     hidden: int
     num_heads: int
     dropout: float = 0.5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, h, senders, receivers, *, node_mask=None,
@@ -244,31 +256,32 @@ class GraphTransformerLayer(nn.Module):
         n = h.shape[0]
         hd = self.hidden // self.num_heads
 
-        # Q/K/V as ONE [d, 3d] matmul: the step is op-count-bound (PERF.md),
-        # so 3 projection dispatches/layer (x10 layers x fwd+bwd) collapse
-        # to 1 at bit-identical per-element reductions.  Parameter
-        # structure stays Q/K/V (checkpoint + reference-import compat);
-        # the concat's backward is a slice, so dW_q/dW_k/dW_v are exact.
-        # SCGIB_GT_FUSED_QKV=0 restores separate projections (the fused
-        # backward materializes a [N, 3d] gradient concat — A/B-able).
-        q_d = nn.Dense(self.hidden, name="Q")
-        k_d = nn.Dense(self.hidden, name="K")
-        v_d = nn.Dense(self.hidden, name="V")
+        # Q/K/V as ONE [d, 3d] matmul AND one stored parameter: the step
+        # is op-count-bound (PERF.md), so 3 projection dispatches/layer
+        # (x10 layers x fwd+bwd) collapse to 1; storing the parameter
+        # fused (rather than concatenating Q/K/V kernels per step, the
+        # round-5 interim form) also removes the per-step param concats
+        # and cuts the optimizer leaf count (the flattened-Adam concat
+        # copies every leaf buffer — 149 us/step at 175 leaves in the
+        # round-5 GT trace).  Same init distribution as three Dense(h)
+        # (lecun fan-in is the input dim either way); per-element
+        # reductions are bit-identical.  SCGIB_GT_FUSED_QKV=0 restores
+        # separate Q/K/V Dense params (A/B + per-projection freeze
+        # masks); ``gt_qkv_weights`` reads either layout.
+        dt = self.dtype
         if _env_flag("SCGIB_GT_FUSED_QKV"):
-            _ = (q_d(h[:1]), k_d(h[:1]), v_d(h[:1]))   # register; DCE'd
-            pq, pk, pv = (m.variables["params"] for m in (q_d, k_d, v_d))
-            qkv_w = jnp.concatenate(
-                [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1)
-            qkv_b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]])
-            qkv = h @ qkv_w + qkv_b
+            qkv = nn.Dense(3 * self.hidden, name="qkv", dtype=dt)(h)
             q = qkv[:, :self.hidden].reshape(n, self.num_heads, hd)
             k = qkv[:, self.hidden:2 * self.hidden].reshape(
                 n, self.num_heads, hd)
             v = qkv[:, 2 * self.hidden:].reshape(n, self.num_heads, hd)
         else:
-            q = q_d(h).reshape(n, self.num_heads, hd)
-            k = k_d(h).reshape(n, self.num_heads, hd)
-            v = v_d(h).reshape(n, self.num_heads, hd)
+            q = nn.Dense(self.hidden, name="Q", dtype=dt)(h).reshape(
+                n, self.num_heads, hd)
+            k = nn.Dense(self.hidden, name="K", dtype=dt)(h).reshape(
+                n, self.num_heads, hd)
+            v = nn.Dense(self.hidden, name="V", dtype=dt)(h).reshape(
+                n, self.num_heads, hd)
 
         if band is not None:
             import jax as _jax
@@ -282,7 +295,12 @@ class GraphTransformerLayer(nn.Module):
                 # round-3 verdict item 2)
                 from ..ops.pallas.gt_flash import gt_flash_attention
 
-                attn = gt_flash_attention(band[0], band[1], q, k, v)
+                # band may carry the precomputed transposed gate as a
+                # third element (built once per encoder call so a layer
+                # scan does not re-transpose it per iteration)
+                attn = gt_flash_attention(
+                    band[0], band[1], q, k, v,
+                    blocks_t=band[2] if len(band) > 2 else None)
             else:
                 # banded MXU path: dense per-tile window attention
                 # (ops/spmm_banded.py::gt_banded_attention, parity-tested
@@ -300,15 +318,40 @@ class GraphTransformerLayer(nn.Module):
             attn = segment_sum(msg, receivers, n, mask=edge_mask)
         attn = attn.reshape(n, self.hidden)
 
-        out = nn.Dense(self.hidden, name="O")(attn)
+        out = nn.Dense(self.hidden, name="O", dtype=dt)(
+            attn.astype(dt) if dt is not None else attn)
         h = h + out
-        h = nn.LayerNorm(name="ln1")(h)
-        h2 = nn.Dense(self.hidden * 2, name="ffn1")(h)
+        h = nn.LayerNorm(name="ln1", dtype=dt)(h)
+        h2 = nn.Dense(self.hidden * 2, name="ffn1", dtype=dt)(h)
         h2 = nn.relu(h2)
         h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
-        h2 = nn.Dense(self.hidden, name="ffn2")(h2)
-        h = nn.LayerNorm(name="ln2")(h + h2)
-        return _mask_rows(h, node_mask)
+        h2 = nn.Dense(self.hidden, name="ffn2", dtype=dt)(h2)
+        h = nn.LayerNorm(name="ln2", dtype=dt)(h + h2)
+        # NOTE: padding rows are NOT re-zeroed here — every op above is
+        # row-local or adjacency-gated, so their garbage cannot reach real
+        # rows; GraphTransformer masks once after the last layer.
+        return h
+
+
+class _GTScanBody(nn.Module):
+    """nn.scan body for the transformer stack: carry = node features,
+    broadcast inputs = (senders, receivers, node_mask, edge_mask, band).
+    ``train`` is a static attribute (it selects dropout determinism at
+    trace time)."""
+
+    hidden: int
+    num_heads: int
+    train: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, h, inv):
+        senders, receivers, node_mask, edge_mask, band = inv
+        h = GraphTransformerLayer(
+            self.hidden, self.num_heads, name="layer", dtype=self.dtype)(
+                h, senders, receivers, node_mask=node_mask,
+                edge_mask=edge_mask, band=band, train=self.train)
+        return h, None
 
 
 class GraphTransformer(nn.Module):
@@ -345,14 +388,78 @@ class GraphTransformer(nn.Module):
             blocks = build_blocks_jax(senders, receivers, edge_mask, off,
                                       n, tile=GT_TILE, band=GT_BAND)
             band = (blocks, off)
-        h = nn.Dense(self.hidden, use_bias=False, name="embed")(h)
+        if (band is not None and _jax.default_backend() == "tpu"
+                and _env_flag("SCGIB_GT_FLASH")):
+            # precompute the backward column pass's transposed gate ONCE
+            # per encoder call — under the layer scan below the per-layer
+            # bodies would otherwise each rebuild it (the loop version
+            # relied on XLA CSE across unrolled layers)
+            band = (band[0], band[1], jnp.swapaxes(band[0], 1, 2))
+        # Activation dtype for the layer stack's dense tail (see
+        # GraphTransformerLayer.dtype).  SCGIB_GT_ACT_BF16=1 runs the
+        # dense tail in bf16 — measured a net LOSS on v5e-1 (3238 vs
+        # 3179 us/step): the f32 casts at the flash-kernel boundaries
+        # (q/k/v/g are f32 kernel inputs) cost more than the halved
+        # traffic of the LN/residual fusions saves.  Default f32.
+        dt = (jnp.bfloat16
+              if (_jax.default_backend() == "tpu"
+                  and _env_flag("SCGIB_GT_ACT_BF16", "0"))
+              else None)
+        h = nn.Dense(self.hidden, use_bias=False, name="embed",
+                     dtype=dt)(h)
         h = _mask_rows(h, node_mask)
-        for i in range(self.num_layers + 1):
-            h = GraphTransformerLayer(
-                self.hidden, self.num_heads, name=f"layer{i}")(
-                    h, senders, receivers, node_mask=node_mask,
-                    edge_mask=edge_mask, band=band, train=train)
-        return h
+        n_layers = self.num_layers + 1
+        if _env_flag("SCGIB_GT_SCAN", "0"):
+            # OPTIONAL nn.scan over the structurally identical layers
+            # (stacked [L, ...] params, tree layers/layer/...).  Measured
+            # on v5e-1 this is a net LOSS for the 5-layer d=64 stack
+            # (3670 vs 3294 us/step): the per-iteration dynamic-slicing
+            # of small stacked params and the lost cross-layer fusion
+            # cost more than the saved dispatch, so the unrolled loop
+            # stays the default.  Kept because at deeper/wider stacks the
+            # tradeoff flips (compile time and HLO size scale with the
+            # unrolled layer count).
+            body = nn.scan(
+                _GTScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=n_layers,
+                in_axes=nn.broadcast,
+                out_axes=0,
+            )(self.hidden, self.num_heads, train=train, dtype=dt,
+              name="layers")
+            h, _ = body(h, (senders, receivers, node_mask, edge_mask,
+                            band))
+        else:
+            for i in range(n_layers):
+                h = GraphTransformerLayer(
+                    self.hidden, self.num_heads, name=f"layer{i}",
+                    dtype=dt)(
+                        h, senders, receivers, node_mask=node_mask,
+                        edge_mask=edge_mask, band=band, train=train)
+        h = h.astype(jnp.float32)   # downstream readouts/losses are f32
+        # Padding rows are masked ONCE here, not per layer: every op in a
+        # transformer layer is row-local (LayerNorm/FFN) or gates padding
+        # out via the adjacency (attention: a padding row's band window is
+        # all-zero so its z=0 and its weights are exactly 0), so garbage
+        # in padding rows never leaks into real rows or into weight
+        # gradients (padding rows carry zero upstream gradient).  The
+        # per-layer masking cost ~10 masked [N, d] multiplies per train
+        # step (fwd + bwd) at bench shapes.
+        return _mask_rows(h, node_mask)
+
+
+def gt_layer_params(params, i: int):
+    """Per-layer param subtree of a ``GraphTransformer``, independent of
+    layout: the scanned default stacks layers as ``layers/layer/...``
+    with a leading layer axis, the unrolled fallback (SCGIB_GT_SCAN=0)
+    names them ``layer{i}``."""
+    import jax as _jax
+
+    if "layers" in params:
+        return _jax.tree_util.tree_map(lambda a: a[i],
+                                       params["layers"]["layer"])
+    return params[f"layer{i}"]
 
 
 ENCODERS = {

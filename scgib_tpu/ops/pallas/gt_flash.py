@@ -178,6 +178,73 @@ def _bwd_rows_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref,
         rho_ref[pl.ds(j * tile, tile), :] = rho
 
 
+def _bwd_merged_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref,
+                       blocks_ref, dq_ref, dk_ref, dv_ref,
+                       *, num_heads, hd, clamp, eps, scale, bf16):
+    """Single-pass backward (the round-5 default): the row-tile pass
+    already holds dS and W in registers, so instead of a second kernel
+    recomputing them transposed (the round-4 two-pass split), this one
+    scatter-accumulates each tile's dk/dv contributions into VMEM-
+    resident full outputs.  Safe because the Pallas TPU grid executes
+    programs SEQUENTIALLY on a core — overlapping band windows
+    read-modify-write without races.  Kills the transposed-gate build,
+    the rho emit/reload, and ~9 recompute ops per tile of the old column
+    pass (~3.18 ms -> see PERF.md for the measured step)."""
+    p = pl.program_id(0)
+    tp, tile, band = blocks_ref.shape
+    ones_bd = _ones_bd(num_heads, band)
+
+    @pl.when(p == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for j in range(tp):
+        t = p * tp + j
+        off = pl.multiple_of(off_ref[t], 8)
+        blk = blocks_ref[j].astype(jnp.float32)
+        q_t = q_ref[pl.ds(t * tile, tile), :]
+        g_t = g_ref[pl.ds(t * tile, tile), :]
+        zb = z_ref[pl.ds(t * tile, tile), :]              # [tile, H]
+        k_bd = _bd(k_ref[pl.ds(off, band), :], num_heads, hd)
+        v_bd = _bd(v_ref[pl.ds(off, band), :], num_heads, hd)
+        s_cat = _hdot(q_t, k_bd, bf16) * scale            # [tile, H*band]
+        G_cat = _hdot(g_t, v_bd, bf16)
+        e_cat = jnp.exp(jnp.clip(s_cat, -clamp, clamp))
+        e_cat = e_cat * jnp.concatenate([blk] * num_heads, axis=1)
+        invbig = _inv_big(zb, ones_bd, eps)
+        w_cat = e_cat * invbig
+        rho = jnp.dot(G_cat * w_cat, ones_bd,
+                      preferred_element_type=jnp.float32)  # [tile, H]
+        rhobig = jax.lax.dot_general(
+            rho, ones_bd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        inclip = ((s_cat >= -clamp) & (s_cat <= clamp)).astype(jnp.float32)
+        dS_cat = e_cat * inclip * (G_cat - rhobig) * invbig
+        dq_ref[pl.ds(j * tile, tile), :] = jnp.dot(
+            dS_cat.astype(jnp.bfloat16) if bf16 else dS_cat,
+            k_bd.astype(jnp.bfloat16) if bf16 else k_bd,
+            preferred_element_type=jnp.float32) * scale
+        # dk[j] = sum_i dS[i, j] q[i] * scale, dv[j] = sum_i W[i, j] g[i]
+        # for rows i of THIS tile: contract the tile axis, head-mask the
+        # [H*band, H*hd] stacks (off-diagonal head pairings are garbage),
+        # collapse the head blocks, and accumulate into the band window.
+        dk_stack = _cdot(dS_cat, q_t, bf16)               # [H*band, H*hd]
+        dv_stack = _cdot(w_cat, g_t, bf16)
+        hm = _head_mask(num_heads, band, hd)
+        dk_stack = dk_stack * hm
+        dv_stack = dv_stack * hm
+        dk_w = dk_stack[0:band, :]
+        dv_w = dv_stack[0:band, :]
+        for h in range(1, num_heads):
+            dk_w = dk_w + dk_stack[h * band:(h + 1) * band, :]
+            dv_w = dv_w + dv_stack[h * band:(h + 1) * band, :]
+        dk_ref[pl.ds(off, band), :] = (
+            dk_ref[pl.ds(off, band), :] + dk_w * scale)
+        dv_ref[pl.ds(off, band), :] = (
+            dv_ref[pl.ds(off, band), :] + dv_w)
+
+
 def _bwd_cols_kernel(off_ref, q_ref, k_ref, v_ref, g_ref, z_ref, rho_ref,
                      blocks_t_ref, dk_ref, dv_ref,
                      *, num_heads, hd, clamp, eps, scale, bf16):
@@ -266,7 +333,66 @@ def _run_fwd(blocks, col_off, qf, kf, vf, num_heads, hd, clamp, eps,
 
 
 def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
-             eps, bf16):
+             eps, bf16, blocks_t=None):
+    """Backward dispatch: single merged kernel by default;
+    SCGIB_GT_BWD_TWOPASS=1 restores the round-4 row/column two-pass
+    split (A/B and fallback)."""
+    from ...utils.knobs import env_flag
+
+    if not env_flag("SCGIB_GT_BWD_TWOPASS", "0"):
+        return _run_bwd_merged(blocks, col_off, qf, kf, vf, gf, z,
+                               num_heads, hd, clamp, eps, bf16)
+    return _run_bwd_twopass(blocks, col_off, qf, kf, vf, gf, z,
+                            num_heads, hd, clamp, eps, bf16,
+                            blocks_t=blocks_t)
+
+
+def _run_bwd_merged(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd,
+                    clamp, eps, bf16):
+    n_tiles, tile, band = blocks.shape
+    n, width = qf.shape
+    scale = 1.0 / float(hd) ** 0.5
+    tp = next(t for t in (_TILES_PER_PROGRAM, 2, 1) if n_tiles % t == 0)
+    kern = functools.partial(_bwd_merged_kernel, num_heads=num_heads,
+                             hd=hd, clamp=clamp, eps=eps, scale=scale,
+                             bf16=bf16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // tp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5 + [
+            pl.BlockSpec((tp, tile, band), lambda p, c: (p, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((tp * tile, width), lambda p, c: (p, 0)),
+            # dk/dv: constant index map — the whole array stays VMEM-
+            # resident across the (sequential) grid so programs can
+            # read-modify-write their overlapping band windows; written
+            # back to HBM once at the end
+            pl.BlockSpec((n, width), lambda p, c: (0, 0)),
+            pl.BlockSpec((n, width), lambda p, c: (0, 0)),
+        ],
+    )
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, width), jnp.float32),
+                   jax.ShapeDtypeStruct((n, width), jnp.float32),
+                   jax.ShapeDtypeStruct((n, width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(8 * n * width,
+                                         tp * tile * band,
+                                         8 * tile * num_heads * band,
+                                         4 * num_heads * band * width,
+                                         2 * tp * tile * width)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * 2 * n_tiles * tile * band * width,
+            bytes_accessed=4 * (8 * n * width + blocks.size),
+            transcendentals=n_tiles * tile * band * num_heads),
+    )(col_off, qf, kf, vf, gf, z, blocks)
+    return dq, dk, dv
+
+
+def _run_bwd_twopass(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd,
+                     clamp, eps, bf16, blocks_t=None):
     n_tiles, tile, band = blocks.shape
     n, width = qf.shape
     scale = 1.0 / float(hd) ** 0.5
@@ -302,8 +428,13 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
             transcendentals=n_tiles * tile * band * num_heads),
     )(col_off, qf, kf, vf, gf, z, blocks)
 
-    # transposed gate, built once in XLA (hoisted out of scans)
-    blocks_t = jnp.swapaxes(blocks, 1, 2)
+    # transposed gate, built in XLA (a per-tile in-kernel transpose
+    # doubled the column kernel in the round-4 profile).  Callers that
+    # run the attention under a layer scan pass ``blocks_t`` precomputed
+    # (encoders.py builds it ONCE per encoder call) — otherwise a scanned
+    # body would re-transpose per layer iteration.
+    if blocks_t is None:
+        blocks_t = jnp.swapaxes(blocks, 1, 2)
     kern2 = functools.partial(_bwd_cols_kernel, num_heads=num_heads,
                               hd=hd, clamp=clamp, eps=eps, scale=scale,
                               bf16=bf16)
@@ -338,12 +469,15 @@ def _run_bwd(blocks, col_off, qf, kf, vf, gf, z, num_heads, hd, clamp,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def gt_flash_attention(blocks, col_off, q, k, v, clamp=5.0, eps=1e-6,
-                       bf16_dots=None):
+                       bf16_dots=None, blocks_t=None):
     """Graph-transformer banded attention, flash-style.  q/k/v [N, H, hd]
     -> [N, H, hd].  Same semantics as
     ``spmm_banded.gt_banded_attention`` (the XLA reference) without HBM
     score materialization.  ``bf16_dots`` (static): None = env default
-    (_bf16_default)."""
+    (_bf16_default).  ``blocks_t`` (optional, [T, band, tile]): the
+    transposed gate for the backward column pass; pass it precomputed
+    when calling under a layer scan so it is built once per step instead
+    of once per layer iteration."""
     out, _ = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps,
                              bf16_dots)
     return out
@@ -360,26 +494,28 @@ def _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps, bf16_dots):
     return outf.reshape(n, num_heads, hd).astype(q.dtype), z
 
 
-def _flash_fwd(blocks, col_off, q, k, v, clamp, eps, bf16_dots):
+def _flash_fwd(blocks, col_off, q, k, v, clamp, eps, bf16_dots,
+               blocks_t=None):
     out, z = _flash_fwd_impl(blocks, col_off, q, k, v, clamp, eps,
                              bf16_dots)
-    return out, (blocks, col_off, q, k, v, z)
+    return out, (blocks, col_off, q, k, v, z, blocks_t)
 
 
 def _flash_bwd(clamp, eps, bf16_dots, res, g):
     bf16 = _bf16_default() if bf16_dots is None else bool(bf16_dots)
-    blocks, col_off, q, k, v, z = res
+    blocks, col_off, q, k, v, z, blocks_t = res
     n, num_heads, hd = q.shape
     qf = q.reshape(n, num_heads * hd).astype(jnp.float32)
     kf = k.reshape(n, num_heads * hd).astype(jnp.float32)
     vf = v.reshape(n, num_heads * hd).astype(jnp.float32)
     gf = g.reshape(n, num_heads * hd).astype(jnp.float32)
     dq, dk, dv = _run_bwd(blocks, col_off, qf, kf, vf, gf, z,
-                          num_heads, hd, clamp, eps, bf16)
+                          num_heads, hd, clamp, eps, bf16,
+                          blocks_t=blocks_t)
     shape = (n, num_heads, hd)
     return (None, None, dq.reshape(shape).astype(q.dtype),
             dk.reshape(shape).astype(k.dtype),
-            dv.reshape(shape).astype(v.dtype))
+            dv.reshape(shape).astype(v.dtype), None)
 
 
 gt_flash_attention.defvjp(_flash_fwd, _flash_bwd)

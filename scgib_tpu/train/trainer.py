@@ -93,7 +93,55 @@ def adam_l2(learning_rate: float, weight_decay: float = 0.0,
     parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     parts.append(optax.scale(-learning_rate))
     tx = optax.chain(*parts)
-    return optax.flatten(tx) if flatten else tx
+    return _flatten_resident_params(tx) if flatten else tx
+
+
+def _flatten_resident_params(
+        tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """``optax.flatten`` with the flat PARAMS vector carried in the
+    optimizer state instead of re-concatenated every step.
+
+    The round-5 GT trace showed the per-step flatten concats cost
+    ~127 us at 135 leaves (one for grads, one for params — the params
+    one feeds the L2 term).  The grads concat is unavoidable (autodiff
+    yields per-leaf cotangents), but the params vector can be carried:
+    ``apply_updates`` is an elementwise per-leaf add and the flat update
+    is its exact concatenation, so ``p_flat + u_flat`` stays
+    bit-identical to ``flatten(params + u)`` forever.  Requires that
+    params are never mutated OUTSIDE apply_updates after ``tx.init``
+    (true for every loop in train/; re-init the state after grafting or
+    loading params, which checkpoint.py's flows already do)."""
+    def _flat(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([jnp.ravel(x) for x in leaves])
+
+    def _unflat(vec, template):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        out, i = [], 0
+        for leaf in leaves:
+            n = leaf.size
+            out.append(jnp.reshape(vec[i:i + n], leaf.shape)
+                       .astype(leaf.dtype))
+            i += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init(params):
+        if not jax.tree_util.tree_leaves(params):
+            return (tx.init(params), None)
+        p_flat = _flat(params)
+        return (tx.init(p_flat), p_flat)
+
+    def update(updates, state, params=None):
+        inner_state, p_flat = state
+        if p_flat is None:      # empty tree: passthrough
+            new_inner, _ = tx.update(updates, inner_state, params)
+            return updates, (new_inner, None)
+        g_flat = _flat(updates)
+        u_flat, new_inner = tx.update(g_flat, inner_state, p_flat)
+        return (_unflat(u_flat, updates),
+                (new_inner, p_flat + u_flat))
+
+    return optax.GradientTransformation(init, update)
 
 
 @struct.dataclass

@@ -113,12 +113,21 @@ def test_transformer_edge_softmax(batch):
     p = jax.tree_util.tree_map(np.asarray, v["params"])
     h = np.asarray(x, np.float64) @ p["embed"]["kernel"]
     h = h * np.asarray(g.node_mask)[:, None]
-    lp = p["layer0"]
+    from scgib_tpu.models.encoders import gt_layer_params
+
+    lp = gt_layer_params(p, 0)
     n = h.shape[0]
     heads, hd = 2, 4
-    q = (h @ lp["Q"]["kernel"] + lp["Q"]["bias"]).reshape(n, heads, hd)
-    k = (h @ lp["K"]["kernel"] + lp["K"]["bias"]).reshape(n, heads, hd)
-    vv = (h @ lp["V"]["kernel"] + lp["V"]["bias"]).reshape(n, heads, hd)
+    d = heads * hd
+    if "qkv" in lp:         # fused-QKV storage (default layout)
+        qkv = h @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+        q = qkv[:, :d].reshape(n, heads, hd)
+        k = qkv[:, d:2 * d].reshape(n, heads, hd)
+        vv = qkv[:, 2 * d:].reshape(n, heads, hd)
+    else:
+        q = (h @ lp["Q"]["kernel"] + lp["Q"]["bias"]).reshape(n, heads, hd)
+        k = (h @ lp["K"]["kernel"] + lp["K"]["bias"]).reshape(n, heads, hd)
+        vv = (h @ lp["V"]["kernel"] + lp["V"]["bias"]).reshape(n, heads, hd)
     s = np.asarray(g.senders)
     r = np.asarray(g.receivers)
     m = np.asarray(g.edge_mask)

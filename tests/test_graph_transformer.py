@@ -30,9 +30,15 @@ def _layer_oracle(p, h, senders, receivers, num_heads):
         xn = (x - mu) / np.sqrt(var + 1e-6)
         return xn * np.asarray(p[name]["scale"]) + np.asarray(p[name]["bias"])
 
-    q = dense("Q", h).reshape(n, num_heads, hd)
-    k = dense("K", h).reshape(n, num_heads, hd)
-    v = dense("V", h).reshape(n, num_heads, hd)
+    if "qkv" in p:          # fused-QKV storage (the default layout)
+        qkv = dense("qkv", h)
+        q = qkv[:, :d].reshape(n, num_heads, hd)
+        k = qkv[:, d:2 * d].reshape(n, num_heads, hd)
+        v = qkv[:, 2 * d:].reshape(n, num_heads, hd)
+    else:
+        q = dense("Q", h).reshape(n, num_heads, hd)
+        k = dense("K", h).reshape(n, num_heads, hd)
+        v = dense("V", h).reshape(n, num_heads, hd)
 
     E = len(senders)
     score = np.einsum("ehd,ehd->eh", k[senders], q[receivers]) / np.sqrt(hd)
@@ -91,10 +97,12 @@ def test_full_encoder_matches_oracle():
     out = enc.apply(variables, jnp.asarray(x), jnp.asarray(s),
                     jnp.asarray(r), train=False)
 
+    from scgib_tpu.models.encoders import gt_layer_params
+
     p = jax.tree.map(np.asarray, variables["params"])
     h = x.astype(np.float64) @ np.asarray(p["embed"]["kernel"])
     for i in range(layers + 1):     # reference builds num_layers+1 layers
-        h = _layer_oracle(p[f"layer{i}"], h, s, r, heads)
+        h = _layer_oracle(gt_layer_params(p, i), h, s, r, heads)
     np.testing.assert_allclose(np.asarray(out), h, rtol=5e-4, atol=5e-4)
 
 
@@ -252,4 +260,53 @@ def test_gt_flash_matches_banded_xla(bf16):
     for ga, gb, name in zip(grads_a, grads_b, "qkv"):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=10 * rtol, atol=10 * atol,
+                                   err_msg=f"d{name}")
+
+
+def test_gt_flash_merged_bwd_matches_twopass():
+    """The single-pass backward (round-5 default: dk/dv scatter-
+    accumulated from the row pass over the sequential grid) agrees with
+    the round-4 two-pass row/column split (SCGIB_GT_BWD_TWOPASS=1) up to
+    reduction order, in strict-f32 interpret mode."""
+    import os
+
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from scgib_tpu.graph.banded import pack_banded
+    from scgib_tpu.ops.pallas.gt_flash import gt_flash_attention
+
+    rng = np.random.default_rng(3)
+    n, H, hd = 256, 8, 8
+    send, recv = [], []
+    for v in range(n):
+        for _ in range(3):
+            u = int(np.clip(v + rng.integers(-20, 21), 0, n - 1))
+            send += [u, v]
+            recv += [v, u]
+    b = pack_banded(np.asarray(send, np.int32),
+                    np.asarray(recv, np.int32), None, n,
+                    tile=128, band=256)
+    blocks = jnp.asarray(b.blocks)
+    col_off = jnp.asarray(b.col_off)
+    q = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n, H, hd)), jnp.float32)
+
+    def loss(q, k, v):
+        out = gt_flash_attention(blocks, col_off, q, k, v,
+                                 bf16_dots=False)
+        return jnp.sum(jnp.sin(out))
+
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+    with pltpu.force_tpu_interpret_mode():
+        merged = grad_fn(q, k, v)
+        os.environ["SCGIB_GT_BWD_TWOPASS"] = "1"
+        try:
+            twopass = grad_fn(q, k, v)
+        finally:
+            del os.environ["SCGIB_GT_BWD_TWOPASS"]
+    for ga, gb, name in zip(merged, twopass, "qkv"):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=2e-5, atol=2e-5,
                                    err_msg=f"d{name}")

@@ -201,3 +201,44 @@ def test_model_rngs_rbg_dropout_default():
     y = nn.Dropout(0.5, deterministic=False).apply(
         {}, jax.numpy.ones((8, 8)), rngs={"dropout": r["dropout"]})
     assert bool(jax.numpy.isfinite(y).all())
+
+
+def test_flatten_resident_params_matches_optax_flatten():
+    """adam_l2's resident-params flatten (the flat params vector carried
+    in the optimizer state instead of re-concatenated per step) produces
+    BIT-IDENTICAL updates to optax.flatten over many steps, and the
+    carried vector stays equal to flatten(params)."""
+    import optax as _optax
+
+    rng = np.random.default_rng(7)
+    params = {
+        "a": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32),
+        "b": {"w": jnp.asarray(rng.normal(size=(3,)), jnp.float32),
+              "k": jnp.asarray(rng.normal(size=(2, 2)), jnp.float32)},
+    }
+    inner = _optax.chain(_optax.add_decayed_weights(5e-5),
+                         _optax.scale_by_adam(),
+                         _optax.scale(-1e-3))
+    tx_ref = _optax.flatten(inner)
+    tx_res = adam_l2(1e-3, weight_decay=5e-5)   # resident-params default
+
+    p_ref = jax.tree_util.tree_map(jnp.copy, params)
+    p_res = jax.tree_util.tree_map(jnp.copy, params)
+    s_ref = tx_ref.init(p_ref)
+    s_res = tx_res.init(p_res)
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                rng.normal(size=x.shape) + 0.1 * i, jnp.float32), params)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        u_res, s_res = tx_res.update(grads, s_res, p_res)
+        for la, lb in zip(jax.tree_util.tree_leaves(u_ref),
+                          jax.tree_util.tree_leaves(u_res)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_res = optax.apply_updates(p_res, u_res)
+    # the carried flat vector tracks the real params exactly
+    _, p_flat = s_res
+    want = jnp.concatenate([jnp.ravel(x)
+                            for x in jax.tree_util.tree_leaves(p_res)])
+    np.testing.assert_array_equal(np.asarray(p_flat), np.asarray(want))
