@@ -310,3 +310,35 @@ def test_gt_flash_merged_bwd_matches_twopass():
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f"d{name}")
+
+
+def test_scanned_layer_stack_matches_oracle():
+    """SCGIB_GT_SCAN=1 (stacked [L, ...] params via nn.scan — default-off
+    perf alternative) produces an encoder whose stacked layers replay the
+    same oracle math; gt_layer_params reads the stacked layout."""
+    import os
+
+    from scgib_tpu.models.encoders import gt_layer_params
+
+    rng = np.random.default_rng(6)
+    n, d, heads, layers = 12, 16, 4, 1
+    s, r = _random_graph(rng, n)
+    x = rng.normal(size=(n, 9)).astype(np.float32)
+
+    os.environ["SCGIB_GT_SCAN"] = "1"
+    try:
+        enc = GraphTransformer(hidden=d, num_layers=layers,
+                               num_heads=heads)
+        variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             jnp.asarray(s), jnp.asarray(r), train=False)
+        out = enc.apply(variables, jnp.asarray(x), jnp.asarray(s),
+                        jnp.asarray(r), train=False)
+    finally:
+        del os.environ["SCGIB_GT_SCAN"]
+
+    p = jax.tree.map(np.asarray, variables["params"])
+    assert "layers" in p            # stacked layout
+    h = x.astype(np.float64) @ np.asarray(p["embed"]["kernel"])
+    for i in range(layers + 1):
+        h = _layer_oracle(gt_layer_params(p, i), h, s, r, heads)
+    np.testing.assert_allclose(np.asarray(out), h, rtol=5e-4, atol=5e-4)
