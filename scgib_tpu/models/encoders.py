@@ -267,7 +267,7 @@ class GraphTransformerLayer(nn.Module):
         # (lecun fan-in is the input dim either way); per-element
         # reductions are bit-identical.  SCGIB_GT_FUSED_QKV=0 restores
         # separate Q/K/V Dense params (A/B + per-projection freeze
-        # masks); ``gt_qkv_weights`` reads either layout.
+        # masks); the test oracles read either layout.
         dt = self.dtype
         if _env_flag("SCGIB_GT_FUSED_QKV"):
             qkv = nn.Dense(3 * self.hidden, name="qkv", dtype=dt)(h)
